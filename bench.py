@@ -1,0 +1,98 @@
+"""Benchmark: FixMatch dual-view augmentation+train path, images/sec/chip.
+
+The BASELINE.json north-star metric. Measures the flagship configuration of
+the reference's real-SSL FixMatch run (configs/kaggle_semisupervised_real_3_1
+.yaml: ResNet-50, IMG_SIZE=112, BATCH_SIZE=32, MU=7) as ONE fused jitted
+step: on-device weak+strong RandAugment views from canonical uint8 batches,
+concat forward/backward over B*(1+2*MU) images, poly-CE + masked consistency
+loss, Adam + schedule, EMA teacher update.
+
+images/sec counts images entering the network per step: B*(1+2*MU) = 480.
+
+vs_baseline: ratio against an ESTIMATED reference throughput on A100
+(BASELINE.md: the reference publishes no numbers). Estimate reasoning: the
+PyTorch reference feeds an A100 through a 2-worker DataLoader running PIL
+RandAugment + JPEG decode per view on CPU (dataset.py:353, randaugment.py);
+at 112px an A100 can compute ~8-10k img/s for ResNet-50 fwd+bwd, but the
+2-worker PIL pipeline sustains roughly 300-700 img/s, making the pipeline the
+bottleneck. We take the optimistic end, 700 img/s, as the A100 baseline. The
+driver-set target is >=5x that (3500 img/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_IMGS_PER_SEC = 700.0  # estimated; see module docstring
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.config.loader import default_config
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.fixmatch import FixMatch
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "resnet50"
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.DATA.IMG_SIZE = 112
+    cfg.DATA.BATCH_SIZE = 32
+    cfg.DATA.MU = 7
+    cfg.DATA.IS_CROP = True
+    cfg.TRAIN.DTYPE = "bfloat16"
+    cfg.TRAIN.EVAL_STEP = 512
+    n_dev = len(jax.devices())
+    cfg.TRAIN.MESH_DATA = n_dev
+    cfg.TRAIN.MESH_MODEL = 1
+
+    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = None
+    trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+
+    size = int(cfg.DATA.IMG_SIZE * 1.2)
+    b = int(cfg.DATA.BATCH_SIZE)
+    mu = int(cfg.DATA.MU)
+    rng = np.random.default_rng(0)
+    x_lb = rng.integers(0, 255, (b, size, size, 3)).astype(np.uint8)
+    targets = rng.integers(0, cfg.MODEL.NUM_CLASSES, b).astype(np.int64)
+    u = rng.integers(0, 255, (b * mu, size, size, 3)).astype(np.uint8)
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+
+    sharded = trainer._shard(x_lb, targets, u)
+
+    # warmup / compile
+    state = trainer.state
+    for _ in range(3):
+        state, loss, _ = trainer._train_step(state, *sharded, weights,
+                                             trainer._next_rng())
+    jax.block_until_ready(state)
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = trainer._train_step(state, *sharded, weights,
+                                             trainer._next_rng())
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    imgs_per_step = b * (1 + 2 * mu)
+    imgs_per_sec = imgs_per_step * steps / dt / n_dev
+
+    print(json.dumps({
+        "metric": "fixmatch_dual_view_images_per_sec_per_chip",
+        "value": round(float(imgs_per_sec), 1),
+        "unit": "images/sec/chip (ResNet-50, 112px, B=32, MU=7, bf16)",
+        "vs_baseline": round(float(imgs_per_sec) / A100_REFERENCE_IMGS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,322 @@
+"""Primitive on-device image ops (single image, float32 HWC in [0, 255]).
+
+Branchless, vmappable JAX re-implementations of the PIL operations the
+reference augments with (randaugment.py:20-136 and torchvision transforms in
+dataset.py). Geometry uses one shared inverse-affine warp with nearest
+resampling (PIL's default for ``Image.transform``/``rotate``); color ops
+follow ImageEnhance's blend-with-degenerate formulation. Exact bit-parity
+with PIL is impossible (resampling details differ); golden tests compare
+within tolerance (SURVEY.md §7 hard parts).
+
+Everything here runs *inside* the jitted train step and fuses with the model
+compute — the host only ships canonical uint8 batches (pipeline.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# geometry: shared inverse-affine warp
+# ---------------------------------------------------------------------------
+
+
+def affine_warp(img: jnp.ndarray, mat: jnp.ndarray, fill: float = 0.0,
+                bilinear: bool = False) -> jnp.ndarray:
+    """Warp with PIL transform semantics: the source position for output
+    pixel (x, y) is sampled at pixel centers,
+    ``src = M @ (x + 0.5, y + 0.5, 1)``, nearest = floor(src)
+    (PIL ImagingTransformAffine convention); out-of-bounds → fill.
+    mat = [[a, b, c], [d, e, f]].
+    """
+    h, w = img.shape[0], img.shape[1]
+    yg = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    xg = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    x_in = mat[0, 0] * xg + mat[0, 1] * yg + mat[0, 2]
+    y_in = mat[1, 0] * xg + mat[1, 1] * yg + mat[1, 2]
+
+    if bilinear:
+        x_in = x_in - 0.5
+        y_in = y_in - 0.5
+        x0 = jnp.floor(x_in)
+        y0 = jnp.floor(y_in)
+        fx = (x_in - x0)[..., None]
+        fy = (y_in - y0)[..., None]
+
+        def gather(yi, xi):
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            v = img[jnp.clip(yi, 0, h - 1).astype(jnp.int32),
+                    jnp.clip(xi, 0, w - 1).astype(jnp.int32)]
+            return jnp.where(valid[..., None], v, fill)
+
+        v00 = gather(y0, x0)
+        v01 = gather(y0, x0 + 1)
+        v10 = gather(y0 + 1, x0)
+        v11 = gather(y0 + 1, x0 + 1)
+        top = v00 * (1 - fx) + v01 * fx
+        bot = v10 * (1 - fx) + v11 * fx
+        return top * (1 - fy) + bot * fy
+
+    xi = jnp.floor(x_in)
+    yi = jnp.floor(y_in)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    out = img[jnp.clip(yi, 0, h - 1).astype(jnp.int32),
+              jnp.clip(xi, 0, w - 1).astype(jnp.int32)]
+    return jnp.where(valid[..., None], out, fill)
+
+
+def rotate(img: jnp.ndarray, degrees: jnp.ndarray) -> jnp.ndarray:
+    """PIL Image.rotate(angle): counterclockwise about center (w/2, h/2),
+    nearest, black fill (randaugment.py:80-84). Matrix construction mirrors
+    PIL.Image.rotate's inverse mapping with theta = -radians(angle)."""
+    h, w = img.shape[0], img.shape[1]
+    cx, cy = w / 2.0, h / 2.0
+    theta = -jnp.deg2rad(degrees)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    c = cos * (-cx) + sin * (-cy) + cx
+    f = -sin * (-cx) + cos * (-cy) + cy
+    mat = jnp.stack([
+        jnp.stack([cos, sin, c]),
+        jnp.stack([-sin, cos, f]),
+    ])
+    return affine_warp(img, mat)
+
+
+def shear_x(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """img.transform(AFFINE, (1, v, 0, 0, 1, 0)) (randaugment.py:92-96)."""
+    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
+    mat = mat.at[0, 1].set(v)
+    return affine_warp(img, mat)
+
+
+def shear_y(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
+    mat = mat.at[1, 0].set(v)
+    return affine_warp(img, mat)
+
+
+def translate_x(img: jnp.ndarray, pixels: jnp.ndarray) -> jnp.ndarray:
+    """img.transform(AFFINE, (1, 0, v, 0, 1, 0)) (randaugment.py:123-128)."""
+    mat = jnp.array([[1.0, 0.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
+    mat = mat.at[0, 2].set(pixels)
+    return affine_warp(img, mat)
+
+
+def translate_y(img: jnp.ndarray, pixels: jnp.ndarray) -> jnp.ndarray:
+    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], dtype=jnp.float32)
+    mat = mat.at[1, 2].set(pixels)
+    return affine_warp(img, mat)
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Static-shape bilinear resize (torchvision Resize semantics)."""
+    return jax.image.resize(img, (out_h, out_w, img.shape[-1]), method="bilinear")
+
+
+def center_crop(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Static center crop (transforms.CenterCrop)."""
+    h, w = img.shape[0], img.shape[1]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return jax.lax.dynamic_slice(img, (top, left, 0), (size, size, img.shape[-1]))
+
+
+def random_crop_reflect(img: jnp.ndarray, size: int, padding: int,
+                        key: jax.Array) -> jnp.ndarray:
+    """transforms.RandomCrop(size, padding, padding_mode='reflect')
+    (dataset.py:35-37)."""
+    padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)),
+                     mode="reflect")
+    max_off = padded.shape[0] - size
+    ky, kx = jax.random.split(key)
+    top = jax.random.randint(ky, (), 0, max_off + 1)
+    left = jax.random.randint(kx, (), 0, max_off + 1)
+    return jax.lax.dynamic_slice(padded, (top, left, 0), (size, size, img.shape[-1]))
+
+
+def hflip(img: jnp.ndarray) -> jnp.ndarray:
+    return img[:, ::-1, :]
+
+
+def vflip(img: jnp.ndarray) -> jnp.ndarray:
+    return img[::-1, :, :]
+
+
+# ---------------------------------------------------------------------------
+# color ops (PIL ImageEnhance / ImageOps semantics)
+# ---------------------------------------------------------------------------
+
+_L_WEIGHTS = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+
+
+def _luminance(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL 'L' conversion: L = R*299/1000 + G*587/1000 + B*114/1000."""
+    return jnp.tensordot(img, _L_WEIGHTS, axes=([-1], [0]))
+
+
+def _blend(degenerate: jnp.ndarray, img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(degenerate + factor * (img - degenerate), 0.0, 255.0)
+
+
+def brightness(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """ImageEnhance.Brightness: blend with black."""
+    return _blend(jnp.zeros_like(img), img, factor)
+
+
+def color(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """ImageEnhance.Color: blend with grayscale(L)."""
+    deg = _luminance(img)[..., None] * jnp.ones_like(img)
+    return _blend(deg, img, factor)
+
+
+def contrast(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """ImageEnhance.Contrast: blend with solid gray = round(mean(L))."""
+    mean = jnp.floor(jnp.mean(_luminance(img)) + 0.5)
+    return _blend(jnp.full_like(img, mean), img, factor)
+
+
+def sharpness(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """ImageEnhance.Sharpness: blend with SMOOTH-filtered image; PIL leaves
+    the 1px border unfiltered."""
+    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    # depthwise 3x3 via conv over HWC -> NHWC
+    x = img[None]
+    k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, img.shape[-1]))
+    smoothed = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=img.shape[-1])[0]
+    smoothed = jnp.clip(smoothed, 0.0, 255.0)
+    h, w = img.shape[0], img.shape[1]
+    yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (yg == 0) | (yg == h - 1) | (xg == 0) | (xg == w - 1)
+    smoothed = jnp.where(border[..., None], img, smoothed)
+    return _blend(smoothed, img, factor)
+
+
+def posterize(img: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
+    """ImageOps.posterize: keep top ``bits`` bits per channel."""
+    shift = jnp.asarray(8 - jnp.asarray(bits), jnp.int32)
+    q = img.astype(jnp.int32)
+    out = jnp.left_shift(jnp.right_shift(q, shift), shift)
+    return out.astype(img.dtype)
+
+
+def solarize(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+    """ImageOps.solarize: invert pixels >= threshold."""
+    return jnp.where(img >= threshold, 255.0 - img, img)
+
+
+def solarize_add(img: jnp.ndarray, addition: jnp.ndarray,
+                 threshold: float = 128.0) -> jnp.ndarray:
+    """randaugment.py:111-120: add then solarize at fixed threshold."""
+    added = jnp.clip(img + addition, 0.0, 255.0)
+    return solarize(added, threshold)
+
+
+def invert(img: jnp.ndarray) -> jnp.ndarray:
+    return 255.0 - img
+
+
+def autocontrast(img: jnp.ndarray) -> jnp.ndarray:
+    """ImageOps.autocontrast(cutoff=0): per-channel rescale min→0, max→255."""
+    lo = jnp.min(img, axis=(0, 1), keepdims=True)
+    hi = jnp.max(img, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    out = jnp.clip((img - lo) * scale, 0.0, 255.0)
+    return jnp.where(hi > lo, out, img)
+
+
+def equalize(img: jnp.ndarray) -> jnp.ndarray:
+    """ImageOps.equalize: per-channel PIL histogram equalization.
+
+    PIL's LUT: step = (npix - count(last nonzero bin)) // 255;
+    lut[i] = (step // 2 + cumsum(hist)[:i]) // step; identity if step == 0.
+    """
+    h, w, c = img.shape
+    q = jnp.clip(jnp.round(img), 0, 255).astype(jnp.int32)
+
+    def eq_channel(ch: jnp.ndarray) -> jnp.ndarray:
+        flat = ch.reshape(-1)
+        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+        nonzero = hist > 0
+        # count of the highest-occupied bin
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        last_count = hist[last_idx]
+        npix = flat.shape[0]
+        step = (npix - last_count) // 255
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)[:-1]])
+        lut = jnp.where(step > 0, (step // 2 + cum) // jnp.maximum(step, 1),
+                        jnp.arange(256))
+        lut = jnp.clip(lut, 0, 255)
+        use_identity = (jnp.sum(nonzero) <= 1) | (step == 0)
+        out = jnp.where(use_identity, flat, lut[flat])
+        return out.reshape(h, w)
+
+    out = jnp.stack([eq_channel(q[..., i]) for i in range(c)], axis=-1)
+    return out.astype(img.dtype)
+
+
+def cutout_abs(img: jnp.ndarray, size: jnp.ndarray, key: jax.Array,
+               fill: float = 127.0) -> jnp.ndarray:
+    """CutoutAbs (randaugment.py:47-60): gray rectangle of side ~size at a
+    uniform center, clipped to the image."""
+    h, w = img.shape[0], img.shape[1]
+    kx, ky = jax.random.split(key)
+    x0f = jax.random.uniform(kx, (), minval=0.0, maxval=w)
+    y0f = jax.random.uniform(ky, (), minval=0.0, maxval=h)
+    x0 = jnp.maximum(0.0, x0f - size / 2.0).astype(jnp.int32)
+    y0 = jnp.maximum(0.0, y0f - size / 2.0).astype(jnp.int32)
+    x1 = jnp.minimum(w, x0 + size).astype(jnp.int32)
+    y1 = jnp.minimum(h, y0 + size).astype(jnp.int32)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # PIL ImageDraw.rectangle fills inclusive corners
+    mask = (yg >= y0) & (yg <= y1) & (xg >= x0) & (xg <= x1)
+    return jnp.where(mask[..., None], fill, img)
+
+
+def grayscale(img: jnp.ndarray) -> jnp.ndarray:
+    """transforms.RandomGrayscale degenerate: L replicated to 3 channels."""
+    return _luminance(img)[..., None] * jnp.ones_like(img)
+
+
+# ---------------------------------------------------------------------------
+# HSV for torchvision ColorJitter hue
+# ---------------------------------------------------------------------------
+
+
+def adjust_hue(img: jnp.ndarray, hue_factor: jnp.ndarray) -> jnp.ndarray:
+    """torchvision adjust_hue: shift hue by hue_factor (in turns, |f|<=0.5)."""
+    x = img / 255.0
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    d = maxc - minc
+    s = jnp.where(maxc > 0, d / jnp.maximum(maxc, 1e-8), 0.0)
+    dn = jnp.maximum(d, 1e-8)
+    rc = (maxc - r) / dn
+    gc = (maxc - g) / dn
+    bc = (maxc - b) / dn
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(d == 0, 0.0, h)
+
+    h = (h + hue_factor) % 1.0
+
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.clip(jnp.stack([r2, g2, b2], axis=-1) * 255.0, 0.0, 255.0)

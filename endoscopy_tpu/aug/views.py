@@ -1,0 +1,171 @@
+"""Batch view builders: weak / strong / CoMatch / labeled-train / eval.
+
+TPU-native equivalents of the torchvision transform stacks
+(dataset.py:24-132, 177-232). The host ships ONE canonical uint8 batch per
+role (pipeline.canonical_size); every view below derives on device inside the
+jitted step, so the FixMatch dual-view path reads each image from HBM once
+and never touches the host.
+
+All functions take uint8 NHWC canonical batches and return normalized float
+NHWC at IMG_SIZE. Per-sample randomness comes from split jax.random keys.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from endoscopy_tpu.aug import ops
+from endoscopy_tpu.aug.randaugment import randaugment_mc
+
+# ImageNet statistics (dataset.py:21-22)
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
+
+
+def normalize(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """ToTensor + Normalize(mean, std) on [0,255] input."""
+    out = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return out.astype(dtype)
+
+
+def _to_float(batch_u8: jnp.ndarray) -> jnp.ndarray:
+    return batch_u8.astype(jnp.float32)
+
+
+def _center(img: jnp.ndarray, img_size: int) -> jnp.ndarray:
+    """Canonical → IMG_SIZE center crop (no-op when canonical == IMG_SIZE)."""
+    if img.shape[0] == img_size:
+        return img
+    return ops.center_crop(img, img_size)
+
+
+def _maybe(fn, img, key, p):
+    return jnp.where(jax.random.uniform(key) < p, fn(img), img)
+
+
+# ---------------------------------------------------------------------------
+# FixMatch / SemiFormer views (TransformFixMatch, dataset.py:24-56)
+# ---------------------------------------------------------------------------
+
+
+def _fixmatch_weak_one(img, img_size: int):
+    return _center(img, img_size)
+
+
+def _fixmatch_strong_one(img, key, img_size: int):
+    k_flip, k_crop, k_ra = jax.random.split(key, 3)
+    img = _center(img, img_size)
+    img = _maybe(ops.hflip, img, k_flip, 0.5)
+    img = ops.random_crop_reflect(img, img_size, int(img_size * 0.125), k_crop)
+    return randaugment_mc(img, k_ra, n=2, m=10)
+
+
+def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
+                   dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(weak, strong) from one canonical batch."""
+    x = _to_float(batch_u8)
+    weak = jax.vmap(partial(_fixmatch_weak_one, img_size=img_size))(x)
+    keys = jax.random.split(key, x.shape[0])
+    strong = jax.vmap(partial(_fixmatch_strong_one, img_size=img_size))(x, keys)
+    return normalize(weak, dtype), normalize(strong, dtype)
+
+
+# ---------------------------------------------------------------------------
+# CoMatch views (TransformCoMatch, dataset.py:58-109)
+# ---------------------------------------------------------------------------
+
+
+def _comatch_weak_one(img, key, img_size: int):
+    img = _center(img, img_size)
+    return _maybe(ops.hflip, img, key, 0.5)
+
+
+def _comatch_strong0_one(img, key, img_size: int):
+    k_flip, k_ra = jax.random.split(key)
+    img = _center(img, img_size)
+    img = _maybe(ops.hflip, img, k_flip, 0.5)
+    return randaugment_mc(img, k_ra, n=2, m=10)
+
+
+def _color_jitter_one(img, key, b: float, c: float, s: float, h: float):
+    """torchvision ColorJitter: random factors, random op order."""
+    k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
+    fb = jax.random.uniform(k_b, (), minval=max(0.0, 1 - b), maxval=1 + b)
+    fc = jax.random.uniform(k_c, (), minval=max(0.0, 1 - c), maxval=1 + c)
+    fs = jax.random.uniform(k_s, (), minval=max(0.0, 1 - s), maxval=1 + s)
+    fh = jax.random.uniform(k_h, (), minval=-h, maxval=h)
+    order = jax.random.permutation(k_perm, 4)
+
+    def apply_op(i, im):
+        return jax.lax.switch(order[i], [
+            lambda x: ops.brightness(x, fb),
+            lambda x: ops.contrast(x, fc),
+            lambda x: ops.color(x, fs),  # saturation == PIL Color enhance
+            lambda x: ops.adjust_hue(x, fh) if h > 0 else x,
+        ], im)
+
+    return jax.lax.fori_loop(0, 4, apply_op, img)
+
+
+def _comatch_strong1_one(img, key, img_size: int):
+    k_jit_p, k_jit, k_gray, k_flip = jax.random.split(key, 4)
+    img = _center(img, img_size)
+    jittered = _color_jitter_one(img, k_jit, 0.4, 0.4, 0.4, 0.1)
+    img = jnp.where(jax.random.uniform(k_jit_p) < 0.8, jittered, img)
+    img = _maybe(ops.grayscale, img, k_gray, 0.2)
+    return _maybe(ops.hflip, img, k_flip, 0.5)
+
+
+def comatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
+                  dtype=jnp.float32):
+    """(weak, strong0, strong1) from one canonical batch."""
+    x = _to_float(batch_u8)
+    kw, k0, k1 = jax.random.split(key, 3)
+    n = x.shape[0]
+    weak = jax.vmap(partial(_comatch_weak_one, img_size=img_size))(
+        x, jax.random.split(kw, n))
+    s0 = jax.vmap(partial(_comatch_strong0_one, img_size=img_size))(
+        x, jax.random.split(k0, n))
+    s1 = jax.vmap(partial(_comatch_strong1_one, img_size=img_size))(
+        x, jax.random.split(k1, n))
+    return normalize(weak, dtype), normalize(s0, dtype), normalize(s1, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Labeled supervised train view (get_transform is_train/is_labeled,
+# dataset.py:184-207): flips p=0.3, rotation ±20, center crop, color jitter
+# (brightness/contrast/saturation 0.2).
+# ---------------------------------------------------------------------------
+
+
+def _labeled_train_one(img, key, img_size: int):
+    k_h, k_v, k_rot, k_jit = jax.random.split(key, 4)
+    img = _maybe(ops.hflip, img, k_h, 0.3)
+    img = _maybe(ops.vflip, img, k_v, 0.3)
+    angle = jax.random.uniform(k_rot, (), minval=-20.0, maxval=20.0)
+    img = ops.rotate(img, angle)
+    img = _center(img, img_size)
+    return _color_jitter_one(img, k_jit, 0.2, 0.2, 0.2, 0.0)
+
+
+def labeled_train_view(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    x = _to_float(batch_u8)
+    keys = jax.random.split(key, x.shape[0])
+    out = jax.vmap(partial(_labeled_train_one, img_size=img_size))(x, keys)
+    return normalize(out, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Eval view (dataset.py:216-231): deterministic center crop + normalize.
+# ---------------------------------------------------------------------------
+
+
+def eval_view(batch_u8: jnp.ndarray, img_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    x = _to_float(batch_u8)
+    out = jax.vmap(partial(_center, img_size=img_size))(x)
+    return normalize(out, dtype)

@@ -1,0 +1,60 @@
+"""Orbax checkpointing with the reference's resume contract.
+
+The reference checkpoint dict is {epoch, best_valid_*, model_state_dict,
+optimizer, scheduler, [ema_state_dict]} (fixmatch.py:181-202); restore brings
+back optimizer + scheduler step + EMA + epoch (fixmatch.py:204-236). Here the
+whole TrainState pytree (params, batch_stats, opt_state, EMA, step — the
+schedule is a pure function of step, so "scheduler state" is the step) plus a
+small metadata dict round-trips through one Orbax directory per save.
+
+Directory layout: <save_dir>/<name>/  (default name: epoch_<N>); a sidecar
+meta.json carries {epoch, best_valid_*}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(save_dir: str, name: str, state: Any,
+                    metadata: Dict) -> str:
+    path = os.path.abspath(os.path.join(save_dir, name))
+    os.makedirs(save_dir, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(metadata, f)
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:
+    """Restore into the structure of ``target`` (an abstract or concrete
+    TrainState pytree)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        state = ckptr.restore(os.path.join(path, "state"), abstract)
+    meta_file = os.path.join(path, "meta.json")
+    metadata = {}
+    if os.path.exists(meta_file):
+        with open(meta_file) as f:
+            metadata = json.load(f)
+    return state, metadata
+
+
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Highest epoch_<N> directory under save_dir."""
+    if not os.path.isdir(save_dir):
+        return None
+    best, best_n = None, -1
+    for d in os.listdir(save_dir):
+        m = re.fullmatch(r"epoch_(\d+)", d)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = os.path.join(save_dir, d), int(m.group(1))
+    return best

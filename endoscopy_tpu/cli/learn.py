@@ -1,0 +1,112 @@
+"""Training entry point (reference: learn.py:26-84).
+
+Usage::
+
+    python -m endoscopy_tpu.cli.learn --config-1 configs/foo.yaml \
+        [--config-2 configs/bar.yaml]
+
+Two configs run progressive resizing (learn.py:40-55): the model is built
+once from the first config; each stage re-jits at its image size with the
+same parameters. Trainer dispatch follows learn.py:59-75: TRAIN.IS_SSL picks
+FixMatch / CoMatch / SemiFormer by MODEL.TYPE_SEMI, else SupLearning;
+MODEL.PRE_TRAIN_RESUME resumes a checkpoint (learn.py:79-81).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import pandas as pd
+
+from endoscopy_tpu.config.loader import get_config, is_none
+from endoscopy_tpu.data.manifest import (
+    build_ssl_manifests,
+    build_supervised_manifests,
+)
+from endoscopy_tpu.data.pipeline import CanonicalLoader, EvalLoader, canonical_size
+from endoscopy_tpu.models import build_model
+
+
+def build_data(config, type_semi: str = "FixMatch"):
+    """get_data equivalent (dataset.py:314-444) returning loaders."""
+    df_anno = pd.read_csv(config.DATA.ANNO)
+    size = canonical_size(config)
+    bs = int(config.DATA.BATCH_SIZE)
+    workers = int(config.DATA.NUM_WORKERS)
+
+    if config.TRAIN.IS_SSL:
+        df_unanno = None
+        if not config.DATA.MOCKUP_SSL:
+            df_unanno = pd.read_csv(config.DATA.UNANNO)
+        labeled, unlabeled, valid, cls_num_list = build_ssl_manifests(
+            config, df_anno, df_unanno)
+        lab_dl = CanonicalLoader(labeled, bs, size, num_workers=workers)
+        unl_dl = CanonicalLoader(unlabeled, bs * int(config.DATA.MU), size,
+                                 seed=1, num_workers=workers)
+        valid_dl = EvalLoader(valid, bs, size, num_workers=workers)
+        return (lab_dl, unl_dl), valid_dl, cls_num_list, labeled.targets
+
+    train, valid, cls_num_list = build_supervised_manifests(
+        config, df_anno, is_full_sup=True)
+    train_dl = CanonicalLoader(train, bs, size, num_workers=workers)
+    valid_dl = EvalLoader(valid, bs, size, num_workers=workers)
+    return train_dl, valid_dl, cls_num_list, train.targets
+
+
+def make_trainer(config, model):
+    """Trainer dispatch (learn.py:59-75)."""
+    if config.TRAIN.IS_SSL:
+        type_semi = config.MODEL.TYPE_SEMI
+        if type_semi == "FixMatch":
+            from endoscopy_tpu.train.fixmatch import FixMatch
+            return FixMatch(model=model, opt_func=config.TRAIN.OPT_NAME)
+        if type_semi == "CoMatch":
+            from endoscopy_tpu.train.comatch import CoMatch
+            return CoMatch(model=model, opt_func=config.TRAIN.OPT_NAME)
+        if type_semi == "SemiFormer":
+            from endoscopy_tpu.train.semiformer import SemiFormer
+            return SemiFormer(model=model, opt_func=config.TRAIN.OPT_NAME)
+        raise ValueError(f"unknown TYPE_SEMI {type_semi}")
+    from endoscopy_tpu.train.supervised import SupLearning
+    return SupLearning(model=model, opt_func=config.TRAIN.OPT_NAME)
+
+
+def run_config(config, model=None):
+    type_semi = config.MODEL.TYPE_SEMI
+    train_dl, valid_dl, cls_num_list, labeled_targets = build_data(
+        config, type_semi)
+    if model is None:
+        model = build_model(config)
+    trainer = make_trainer(config, model)
+    trainer.get_dataloader(train_dl, valid_dl)
+    if config.TRAIN.IS_SSL:
+        trainer.get_config(config, labeled_targets=labeled_targets)
+    else:
+        trainer.get_config(config, cls_num_list=cls_num_list,
+                           labeled_targets=labeled_targets)
+    if not is_none(config.MODEL.PRE_TRAIN_RESUME):
+        trainer.load_checkpoint(config.MODEL.PRE_TRAIN_RESUME, is_train=True)
+    trainer.fit()
+    return trainer, model
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="endoscopy_tpu training")
+    parser.add_argument("--config-1", required=True)
+    parser.add_argument("--config-2", default=None,
+                        help="second stage for progressive resizing")
+    args = parser.parse_args(argv)
+
+    configs = [get_config(args.config_1)]
+    if args.config_2:
+        configs.append(get_config(args.config_2))
+
+    model = None
+    for idx, config in enumerate(configs):
+        print(f"=== stage {idx} | IMG_SIZE={config.DATA.IMG_SIZE} ===")
+        trainer, model = run_config(config, model=model)
+
+
+if __name__ == "__main__":
+    main()

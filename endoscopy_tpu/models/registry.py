@@ -1,0 +1,84 @@
+"""Model registry + ``build_model`` factory.
+
+Re-design of the reference builder (build.py:29-222): a name-keyed backbone
+registry plus wrapper selection. The wrapper depends on the training mode:
+
+- margin loss configured (MODEL.MARGIN not 'None'): bias-free linear head so
+  the angular-penalty loss can consume the fc kernel (build.py:174-178,
+  custom_model.py:122-134).
+- CoMatch / triplet / EZBM (TYPE_SEMI=='CoMatch' or MODEL.IS_TRIPLET): the
+  ModelwEmb projection model returning (logits, fts, fts_low)
+  (build.py:196-211).
+- otherwise: backbone + build_head classifier (build.py:180-194).
+
+Checkpoint surgery (ImageNet → 2-class abnormal → N-class pathology head
+swap, build.py:113-131,157-165,180-188) lives in ckpt/torch_import.py — the
+builder here always constructs the *final* architecture.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from endoscopy_tpu.config.loader import is_none
+from endoscopy_tpu.models import resnet
+from endoscopy_tpu.models.heads import ClassifierHead, build_head
+from endoscopy_tpu.models.modelwemb import ModelwEmb
+
+_REGISTRY: Dict[str, Callable[..., nn.Module]] = {}
+
+
+def register_backbone(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def list_models():
+    return sorted(_REGISTRY)
+
+
+# -- backbone registrations -------------------------------------------------
+
+def _resnet_tiny(dtype=jnp.float32):
+    """4-block, 8-filter ResNet for tests and CI — not in the reference."""
+    return resnet.ResNet(stage_sizes=(1, 1, 1, 1), num_filters=8, dtype=dtype)
+
+
+register_backbone("resnet_tiny")(_resnet_tiny)
+register_backbone("resnet50")(resnet.resnet50)
+register_backbone("resnet101")(resnet.resnet101)
+register_backbone("resnet50se")(resnet.resnet50se)
+register_backbone("resnet101se")(resnet.resnet101se)
+register_backbone("resnet152se")(resnet.resnet152se)
+register_backbone("seresnext50")(resnet.seresnext50)
+
+
+def create_backbone(name: str, dtype=jnp.bfloat16) -> nn.Module:
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown model '{name}'; known: {list_models()}")
+    return _REGISTRY[name](dtype=dtype)
+
+
+def build_model(config, is_pathology: bool = True) -> nn.Module:
+    """Build the final-architecture module for a config (build.py:29-222)."""
+    name = config.MODEL.NAME
+    num_classes = int(config.MODEL.NUM_CLASSES)
+    dtype = jnp.bfloat16 if config.TRAIN.get("DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    backbone = create_backbone(name, dtype=dtype)
+
+    needs_emb = (config.MODEL.TYPE_SEMI == "CoMatch") or bool(config.MODEL.IS_TRIPLET)
+    if needs_emb:
+        return ModelwEmb(backbone=backbone, num_classes=num_classes,
+                         low_dim=int(config.MODEL.LOW_DIM))
+
+    if not is_none(config.MODEL.MARGIN):
+        head = build_head(num_classes, is_complex=False, use_bias=False)
+        return ClassifierHead(backbone=backbone, head=head)
+
+    head = build_head(num_classes, is_complex=False)
+    return ClassifierHead(backbone=backbone, head=head)

@@ -1,0 +1,160 @@
+"""ResNet / SE-ResNet / SE-ResNeXt backbones in flax.linen, TPU-first.
+
+Functional re-design of the reference's torchvision-style SE models
+(models/se.py:8-314) and the timm resnet50 default (build.py:180-194):
+
+- NHWC layout, bfloat16 compute / float32 params & BN stats (MXU-friendly).
+- BatchNorm statistics are computed over the *global* sharded batch because
+  the train step is jitted over the device mesh — XLA inserts the cross-chip
+  reductions (no per-replica drift, unlike torch DataParallel).
+- Returns pooled features; classification heads live in heads.py so the
+  ModelwEmb / margin / transfer-surgery wrappers can share backbones.
+
+SE block: GAP → 1x1 down(reduction 16) → ReLU → 1x1 up → sigmoid gate
+(se.py:46-55, 121-141).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class SEModule(nn.Module):
+    """Squeeze-and-Excitation channel gate (se.py:46-55)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, H, W, C)
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.channels // self.reduction, (1, 1), dtype=self.dtype,
+                    name="fc_down")(s)
+        s = nn.relu(s)
+        s = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="fc_up")(s)
+        return x * nn.sigmoid(s)
+
+
+class Bottleneck(nn.Module):
+    """ResNet-v1 bottleneck, optional SE gate and grouped 3x3 (ResNeXt).
+
+    Matches torch Bottleneck/BottleneckX semantics (se.py:8-58, 144-187):
+    1x1 reduce → 3x3 (stride, groups) → 1x1 expand(x4) → [SE] → +identity.
+    """
+
+    filters: int
+    strides: int = 1
+    use_se: bool = False
+    groups: int = 1
+    base_width: int = 64
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.bfloat16
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+        out_ch = self.filters * self.expansion
+        residual = x
+
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
+                    padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+
+        if self.use_se:
+            y = SEModule(out_ch, dtype=self.dtype, name="se")(y)
+
+        if residual.shape[-1] != out_ch or self.strides != 1:
+            residual = nn.Conv(out_ch, (1, 1), strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet backbone producing pooled (B, C) features.
+
+    stage_sizes [3,4,6,3] = ResNet-50; use_se=True = SEResNet (se.py:61-118);
+    groups=32, base_width=4 = SEResNeXt-50 32x4d (se.py:190-254).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    num_filters: int = 64
+    use_se: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    num_features: int = 2048  # informational; 512 * expansion
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.num_filters, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for block in range(num_blocks):
+                strides = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(
+                    filters=self.num_filters * (2 ** stage),
+                    strides=strides,
+                    use_se=self.use_se,
+                    groups=self.groups,
+                    base_width=self.base_width,
+                    norm=norm,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        return x.astype(jnp.float32)
+
+
+def resnet50(dtype=jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+
+
+def resnet101(dtype=jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype)
+
+
+def resnet50se(dtype=jnp.bfloat16) -> ResNet:
+    """SEResNet-50 (se.py:257-268)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), use_se=True, dtype=dtype)
+
+
+def resnet101se(dtype=jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), use_se=True, dtype=dtype)
+
+
+def resnet152se(dtype=jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), use_se=True, dtype=dtype)
+
+
+def seresnext50(dtype=jnp.bfloat16) -> ResNet:
+    """SEResNeXt-50 32x4d (se.py:286-297)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), use_se=True, groups=32, base_width=4,
+                  dtype=dtype)

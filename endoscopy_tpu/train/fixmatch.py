@@ -1,0 +1,128 @@
+"""FixMatch trainer (reference: fixmatch.py:19-262).
+
+One jitted step fuses the whole dual-view path (the BASELINE.json north-star
+metric): on-device weak+strong view generation from ONE canonical unlabeled
+uint8 batch, the concat forward over ``[x_lb, u_weak, u_strong]``
+(fixmatch.py:107-112), poly-CE on labeled logits (fixmatch.py:114), masked
+consistency loss (fixmatch.py:116 → loss.py:150-164), total
+``lx + LAMBDA_U * lu`` (fixmatch.py:118), optimizer + schedule step, and the
+EMA teacher update (fixmatch.py:126-127). Epochs are fixed EVAL_STEP
+iterations recycling both loaders (fixmatch.py:89-100) — the loaders here are
+infinite reshuffling streams, so shapes never change and one XLA program
+serves the run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from endoscopy_tpu.aug.views import fixmatch_views, labeled_train_view
+from endoscopy_tpu.losses import ce_loss, consistency_loss
+from endoscopy_tpu.ssl_state.ema import ema_update
+from endoscopy_tpu.train.common import (
+    BaseTrainer,
+    apply_train,
+    mask_grads,
+    model_logits,
+)
+from endoscopy_tpu.utils.meters import AverageMeter
+
+
+class FixMatch(BaseTrainer):
+    trainer_name = "FixMatch"
+
+    def get_config(self, config, labeled_targets: Optional[np.ndarray] = None) -> None:
+        self._setup_common(config, int(config.TRAIN.EVAL_STEP), labeled_targets)
+        self.lambda_u = float(config.TRAIN.LAMBDA_U)
+        self.thres = float(config.TRAIN.THRES)
+        self.T = float(config.TRAIN.T)
+
+        canonical = int(config.DATA.IMG_SIZE * (config.DATA.get("CANONICAL_SCALE", 1.2)
+                                                if config.DATA.IS_CROP else 1))
+        self._init_state((2, canonical, canonical, 3))
+        self._build_eval_step()
+        self._build_train_step()
+
+    def _build_train_step(self) -> None:
+        model = self.model
+        tx = self.tx
+        img_size = self.img_size
+        dtype = self.dtype
+        lambda_u = self.lambda_u
+        thres = self.thres
+        T = self.T
+        ema_decay = self.ema_decay
+        use_ema = self.use_ema
+        grad_mask = self.grad_mask
+
+        def loss_fn(params, batch_stats, x_lb, u_weak, u_strong, targets,
+                    weights, rng):
+            bs_lb = x_lb.shape[0]
+            btu = u_weak.shape[0]
+            # single concat forward (fixmatch.py:107-109)
+            inputs = jnp.concatenate([x_lb, u_weak, u_strong], axis=0)
+            out, new_bs = apply_train(model, params, batch_stats, inputs, rng)
+            logits = model_logits(model, out).astype(jnp.float32)
+            logits_x = logits[:bs_lb]
+            logits_u_w = logits[bs_lb:bs_lb + btu]
+            logits_u_s = logits[bs_lb + btu:]
+
+            lx = ce_loss(logits_x, targets, class_weights=weights,
+                         reduction="mean", type_loss="poly")
+            lu, mask_mean = consistency_loss(logits_u_w, logits_u_s,
+                                             T=T, p_cutoff=thres)
+            loss = lx + lambda_u * lu
+            return loss, (new_bs, lx, lu, mask_mean)
+
+        @jax.jit
+        def train_step(state, x_lb_u8, targets, u_canon_u8, weights, rng):
+            k_lb, k_views, k_drop = jax.random.split(rng, 3)
+            # all three views on device from two canonical uint8 batches
+            x_lb = labeled_train_view(x_lb_u8, k_lb, img_size, dtype)
+            u_weak, u_strong = fixmatch_views(u_canon_u8, k_views, img_size, dtype)
+
+            (loss, (new_bs, lx, lu, mask_mean)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, x_lb, u_weak, u_strong,
+                    targets, weights, k_drop)
+
+            grads = mask_grads(grads, grad_mask)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params, batch_stats=new_bs,
+                opt_state=new_opt)
+            if use_ema:
+                new_state = new_state.replace(
+                    ema_params=ema_update(state.ema_params, new_params, ema_decay),
+                    ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
+                                               ema_decay))
+            return new_state, loss, (lx, lu, mask_mean)
+
+        self._train_step = train_step
+
+    def train_one(self, epoch: int) -> AverageMeter:
+        summary_loss = AverageMeter()
+        weights = self.class_weights
+        if weights is None:
+            weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
+        labeled_iter = iter(self.train_dl[0])
+        unlabeled_iter = iter(self.train_dl[1])
+        for _ in range(int(self.config.TRAIN.EVAL_STEP)):
+            x_lb, targets = next(labeled_iter)
+            u_canon, _ = next(unlabeled_iter)
+            self.state, loss, _ = self._train_step(
+                self.state, *self._shard(x_lb, targets, u_canon), weights,
+                self._next_rng())
+            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+        return summary_loss
+
+    def get_dataloader(self, train_dl, valid_dl, test_dl=None) -> None:
+        """train_dl = (labeled_loader, unlabeled_loader) (fixmatch.py:29-32)."""
+        self.train_dl = train_dl
+        self.valid_dl = valid_dl
+        self.test_dl = test_dl

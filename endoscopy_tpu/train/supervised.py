@@ -1,0 +1,213 @@
+"""Supervised trainer (reference: supervised.py:23-364, class SupLearning).
+
+Branches, replicated as separately-compiled jitted steps (no traced Python
+conditionals, SURVEY.md §7 hard parts):
+
+- plain: weighted CE on logits (supervised.py:121-125);
+- triplet (MODEL.IS_TRIPLET): concat anchor/pos/neg through ModelwEmb,
+  triplet loss on pooled features + poly-CE on anchor logits, total
+  ce + LAMBDA_C * triplet (supervised.py:84-108);
+- margin (MODEL.MARGIN != 'None'): angular-penalty loss on backbone features
+  against the bias-free fc kernel (supervised.py:117-119).
+
+Host-side epoch logic kept: RDW deferred re-weighting after epoch 25
+(supervised.py:324-331, class weights are a step argument so no recompile),
+early stop after 5 non-improving evals, checkpoint gating on valid loss AND
+macro-F1 (supervised.py:344-358).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from endoscopy_tpu.aug.views import labeled_train_view
+from endoscopy_tpu.config.loader import is_none
+from endoscopy_tpu.losses import (
+    angular_penalty_loss,
+    ce_loss,
+    rdw_weights,
+    triplet_loss,
+)
+from endoscopy_tpu.ssl_state.ema import ema_update
+from endoscopy_tpu.train.common import (
+    BaseTrainer,
+    apply_train,
+    mask_grads,
+    model_logits,
+)
+from endoscopy_tpu.utils.meters import AverageMeter
+
+
+class SupLearning(BaseTrainer):
+    trainer_name = "SupLearning"
+
+    def get_config(self, config, cls_num_list: Optional[list] = None,
+                   labeled_targets: Optional[np.ndarray] = None) -> None:
+        n_iter = len(getattr(self.train_dl, "manifest", [])) // int(config.DATA.BATCH_SIZE) or 1
+        self._setup_common(config, n_iter, labeled_targets)
+        self.n_iter_per_epoch = n_iter
+        self.cls_num_list = cls_num_list
+        self.lambda_c = float(config.TRAIN.LAMBDA_C)
+        self.is_triplet = bool(config.MODEL.IS_TRIPLET)
+        self.margin = None if is_none(config.MODEL.MARGIN) else str(config.MODEL.MARGIN)
+
+        canonical = int(config.DATA.IMG_SIZE * (config.DATA.get("CANONICAL_SCALE", 1.2)
+                                                if config.DATA.IS_CROP else 1))
+        self._init_state((2, canonical, canonical, 3))
+        self._build_eval_step()
+        self._build_train_step()
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self) -> None:
+        model = self.model
+        tx = self.tx
+        img_size = self.img_size
+        dtype = self.dtype
+        ema_decay = self.ema_decay
+        use_ema = self.use_ema
+        grad_mask = self.grad_mask
+        is_triplet = self.is_triplet
+        margin = self.margin
+        lambda_c = self.lambda_c
+
+        def loss_plain(params, batch_stats, x, targets, weights, rng):
+            out, new_bs = apply_train(model, params, batch_stats, x, rng)
+            logits = model_logits(model, out).astype(jnp.float32)
+            loss = ce_loss(logits, targets, class_weights=weights, reduction="mean")
+            return loss, new_bs
+
+        def loss_margin(params, batch_stats, x, targets, weights, rng):
+            # supervised.py:117-119: backbone features + angular-penalty loss
+            # against the bias-free fc kernel (model.fc weights).
+            fts, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+                method=model.features)
+            kernel = params["head"]["fc"]["kernel"]
+            loss = angular_penalty_loss(fts.astype(jnp.float32), targets,
+                                        kernel.astype(jnp.float32),
+                                        loss_type=margin, cls_weight=weights)
+            return loss, mut["batch_stats"]
+
+        def loss_triplet_fn(params, batch_stats, x3, targets, weights, rng):
+            # x3: (3B, H, W, C) anchors/pos/neg (supervised.py:84-90)
+            out, new_bs = apply_train(model, params, batch_stats, x3, rng)
+            logits, fts, _ = out
+            bs = x3.shape[0] // 3
+            anchor_logits = logits[:bs].astype(jnp.float32)
+            anchor_fts = fts[:bs]
+            pos_fts = fts[bs:2 * bs]
+            neg_fts = fts[2 * bs:]
+            tl, d_ap, d_an = triplet_loss(anchor_fts, pos_fts, neg_fts, alpha=0.7)
+            cl = ce_loss(anchor_logits, targets, class_weights=weights,
+                         reduction="mean", type_loss="poly")
+            return cl + lambda_c * tl, (new_bs, d_ap, d_an)
+
+        @jax.jit
+        def train_step(state, batch_u8, targets, weights, rng):
+            k_aug, k_drop = jax.random.split(rng)
+            x = labeled_train_view(batch_u8, k_aug, img_size, dtype)
+
+            if is_triplet:
+                (loss, (new_bs, d_ap, d_an)), grads = jax.value_and_grad(
+                    loss_triplet_fn, has_aux=True)(
+                        state.params, state.batch_stats, x, targets, weights, k_drop)
+                aux = (d_ap, d_an)
+            elif margin is not None:
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_margin, has_aux=True)(
+                        state.params, state.batch_stats, x, targets, weights, k_drop)
+                aux = ()
+            else:
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_plain, has_aux=True)(
+                        state.params, state.batch_stats, x, targets, weights, k_drop)
+                aux = ()
+
+            grads = mask_grads(grads, grad_mask)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params, batch_stats=new_bs,
+                opt_state=new_opt)
+            if use_ema:
+                new_state = new_state.replace(
+                    ema_params=ema_update(state.ema_params, new_params, ema_decay),
+                    ema_batch_stats=ema_update(state.ema_batch_stats, new_bs, ema_decay))
+            return new_state, loss, aux
+
+        self._train_step = train_step
+
+    def _build_triplet_batch(self, batch_u8, targets):
+        """Host-side triplet sampling (dataset.py:279-306 rejection sampling
+        → here: same-class positive, different-class negative drawn from the
+        loader's cached pool)."""
+        loader = self.train_dl
+        t = np.asarray(loader.manifest.targets)
+        rng = loader.rng
+        pos_idx = np.empty(len(targets), np.int64)
+        neg_idx = np.empty(len(targets), np.int64)
+        for i, y in enumerate(targets):
+            same = np.nonzero(t == y)[0]
+            diff = np.nonzero(t != y)[0]
+            pos_idx[i] = rng.choice(same)
+            neg_idx[i] = rng.choice(diff)
+        pos = loader._cache_arr[pos_idx]
+        neg = loader._cache_arr[neg_idx]
+        return np.concatenate([batch_u8, pos, neg], axis=0)
+
+    def train_one(self, epoch: int) -> AverageMeter:
+        summary_loss = AverageMeter()
+        # RDW deferred re-weighting (supervised.py:324-331)
+        weights = self.class_weights
+        if self.config.TRAIN.get("TRAIN_RULE") == "RDW" and self.cls_num_list:
+            weights = jnp.asarray(rdw_weights(epoch, self.cls_num_list), jnp.float32)
+        if weights is None:
+            weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
+
+        it = iter(self.train_dl)
+        for _ in range(self.n_iter_per_epoch):
+            batch_u8, targets = next(it)
+            if self.is_triplet:
+                batch_u8 = self._build_triplet_batch(batch_u8, targets)
+            self.state, loss, _ = self._train_step(
+                self.state, *self._shard(batch_u8, targets), weights,
+                self._next_rng())
+            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+        return summary_loss
+
+    # fit with early stop + loss∧F1 checkpoint gate (supervised.py:316-364)
+    def fit(self) -> None:
+        count_early_stop = 0
+        self.best_valid_loss = None
+        self.best_valid_score = None
+        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS)):
+            if count_early_stop > 5:
+                print("Early stopping")
+                break
+            self.epoch = epoch
+            train_loss = self.train_one(epoch)
+            print(f"Epoch {epoch} | Train Loss: {train_loss.avg:.3f}")
+            if epoch % int(self.config.TRAIN.FREQ_EVAL) == 0:
+                valid_loss, valid_metric = self.evaluate_one()
+                f1 = float(valid_metric["macro/f1"])
+                if self.best_valid_loss is not None and self.best_valid_score is not None:
+                    if self.best_valid_loss > valid_loss.avg and self.best_valid_score < f1:
+                        self.best_valid_loss = valid_loss.avg
+                        self.best_valid_score = f1
+                        if self.config.TRAIN.get("SAVE_CP"):
+                            self.save_checkpoint(self.config.TRAIN.SAVE_CP)
+                    elif self.best_valid_loss < valid_loss.avg or self.best_valid_score > f1:
+                        count_early_stop += 1
+                else:
+                    self.best_valid_loss = valid_loss.avg
+                    self.best_valid_score = f1
+                    if self.config.TRAIN.get("SAVE_CP"):
+                        self.save_checkpoint(self.config.TRAIN.SAVE_CP)
+                print(f"\tValid Loss: {valid_loss.avg:.3f} | macro-F1: {f1:.4f}")

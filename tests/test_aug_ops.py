@@ -1,0 +1,156 @@
+"""Golden tests: on-device image ops vs PIL (the reference's augmentation
+backend, randaugment.py:20-136). Exact bit-parity is impossible (float vs
+uint8 rounding, resampling); color ops must match within ~1.5 LSB and
+geometry within a small mismatched-pixel fraction (SURVEY.md §7)."""
+
+import numpy as np
+import PIL.Image
+import PIL.ImageEnhance
+import PIL.ImageOps
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from endoscopy_tpu.aug import ops
+
+H = W = 48
+
+
+@pytest.fixture
+def img(rng):
+    arr = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+    return arr
+
+
+def pil(arr):
+    return PIL.Image.fromarray(arr)
+
+
+def jx(arr):
+    return jnp.asarray(arr, jnp.float32)
+
+
+def assert_close(ours, ref, atol=1.6, frac=0.01):
+    ours = np.asarray(ours)
+    ref = np.asarray(ref, dtype=np.float32)
+    bad = np.abs(ours - ref) > atol
+    assert bad.mean() <= frac, f"mismatch {bad.mean():.4f} > {frac}"
+
+
+def test_brightness(img):
+    for v in (0.3, 1.0, 1.7):
+        ref = PIL.ImageEnhance.Brightness(pil(img)).enhance(v)
+        assert_close(ops.brightness(jx(img), v), np.array(ref))
+
+
+def test_color(img):
+    for v in (0.3, 1.5):
+        ref = PIL.ImageEnhance.Color(pil(img)).enhance(v)
+        assert_close(ops.color(jx(img), v), np.array(ref))
+
+
+def test_contrast(img):
+    for v in (0.4, 1.6):
+        ref = PIL.ImageEnhance.Contrast(pil(img)).enhance(v)
+        assert_close(ops.contrast(jx(img), v), np.array(ref))
+
+
+def test_sharpness(img):
+    for v in (0.2, 1.8):
+        ref = PIL.ImageEnhance.Sharpness(pil(img)).enhance(v)
+        assert_close(ops.sharpness(jx(img), v), np.array(ref), atol=2.0, frac=0.02)
+
+
+def test_posterize(img):
+    for bits in (4, 5, 6, 7):
+        ref = PIL.ImageOps.posterize(pil(img), bits)
+        np.testing.assert_array_equal(np.asarray(ops.posterize(jx(img), bits)),
+                                      np.array(ref).astype(np.float32))
+
+
+def test_solarize(img):
+    for th in (64, 128, 200):
+        ref = PIL.ImageOps.solarize(pil(img), th)
+        np.testing.assert_array_equal(np.asarray(ops.solarize(jx(img), th)),
+                                      np.array(ref).astype(np.float32))
+
+
+def test_invert(img):
+    ref = PIL.ImageOps.invert(pil(img))
+    np.testing.assert_array_equal(np.asarray(ops.invert(jx(img))),
+                                  np.array(ref).astype(np.float32))
+
+
+def test_autocontrast(img):
+    ref = PIL.ImageOps.autocontrast(pil(img))
+    assert_close(ops.autocontrast(jx(img)), np.array(ref), atol=2.0, frac=0.02)
+
+
+def test_equalize(img):
+    ref = PIL.ImageOps.equalize(pil(img))
+    assert_close(ops.equalize(jx(img)), np.array(ref), atol=1.0, frac=0.005)
+
+
+@pytest.mark.parametrize("deg", [-17, 9, 30])
+def test_rotate_matches_pil_nearest(img, deg):
+    ref = np.array(pil(img).rotate(deg))
+    ours = np.asarray(ops.rotate(jx(img), float(deg)))
+    # nearest-neighbor boundary disagreements only
+    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
+    assert bad.mean() < 0.08, bad.mean()
+
+
+@pytest.mark.parametrize("v", [-0.2, 0.25])
+def test_shear_x(img, v):
+    ref = np.array(pil(img).transform((W, H), PIL.Image.AFFINE, (1, v, 0, 0, 1, 0)))
+    ours = np.asarray(ops.shear_x(jx(img), v))
+    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
+    assert bad.mean() < 0.08, bad.mean()
+
+
+@pytest.mark.parametrize("v", [-0.2, 0.25])
+def test_shear_y(img, v):
+    ref = np.array(pil(img).transform((W, H), PIL.Image.AFFINE, (1, 0, 0, v, 1, 0)))
+    ours = np.asarray(ops.shear_y(jx(img), v))
+    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
+    assert bad.mean() < 0.08, bad.mean()
+
+
+@pytest.mark.parametrize("px", [-7, 5])
+def test_translate(img, px):
+    ref = np.array(pil(img).transform((W, H), PIL.Image.AFFINE, (1, 0, px, 0, 1, 0)))
+    ours = np.asarray(ops.translate_x(jx(img), float(px)))
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
+    ref = np.array(pil(img).transform((W, H), PIL.Image.AFFINE, (1, 0, 0, 0, 1, px)))
+    ours = np.asarray(ops.translate_y(jx(img), float(px)))
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
+
+
+def test_cutout_fills_gray(img):
+    out = np.asarray(ops.cutout_abs(jx(img), jnp.float32(16.0), jax.random.key(3)))
+    filled = (out == 127.0).all(axis=-1)
+    assert 0 < filled.sum() <= (17 * 17)
+    # everything else untouched
+    same = (out == img.astype(np.float32)).all(axis=-1)
+    assert (filled | same).all()
+
+
+def test_center_crop_and_flips(img):
+    crop = np.asarray(ops.center_crop(jx(img), 32))
+    top = (H - 32) // 2
+    np.testing.assert_array_equal(crop, img[top:top + 32, top:top + 32].astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(ops.hflip(jx(img))), img[:, ::-1].astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(ops.vflip(jx(img))), img[::-1].astype(np.float32))
+
+
+def test_random_crop_reflect_shape_and_content(img):
+    out = np.asarray(ops.random_crop_reflect(jx(img), H, 6, jax.random.key(0)))
+    assert out.shape == (H, W, 3)
+    padded = np.pad(img, ((6, 6), (6, 6), (0, 0)), mode="reflect").astype(np.float32)
+    # output must be some contiguous crop of the reflect-padded image
+    found = any(
+        np.array_equal(out, padded[y:y + H, x:x + W])
+        for y in range(13) for x in range(13)
+    )
+    assert found

@@ -1,0 +1,125 @@
+"""End-to-end integration: synthetic dataset → trainers run real jitted steps
+on the 8-device CPU mesh, loss finite, eval produces metrics, checkpoint
+round-trips. Mirrors the reference flow learn.py:26-82 on the MOCKUP_SSL
+contract (dataset.py:344-359)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from endoscopy_tpu.config.loader import default_config
+from endoscopy_tpu.data.manifest import build_ssl_manifests, build_supervised_manifests
+from endoscopy_tpu.data.pipeline import CanonicalLoader, EvalLoader, canonical_size
+from endoscopy_tpu.data.synthetic import make_synthetic_dataset
+from endoscopy_tpu.models import build_model
+from endoscopy_tpu.train.fixmatch import FixMatch
+from endoscopy_tpu.train.supervised import SupLearning
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    return make_synthetic_dataset(root, num_classes=4, n_train=32, n_valid=12,
+                                  n_unlabeled=24, img_size=48)
+
+
+def make_config(img_root, **overrides):
+    cfg = default_config()
+    cfg.DATA.PATH = img_root
+    cfg.DATA.IMG_SIZE = IMG
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.DATA.MU = 2
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.NAME = "resnet_tiny"
+    cfg.TRAIN.DTYPE = "float32"
+    cfg.TRAIN.EVAL_STEP = 2
+    cfg.TRAIN.EPOCHS = 1
+    cfg.TRAIN.SAVE_CP = ""
+    for k, v in overrides.items():
+        section, key = k.split(".")
+        cfg[section][key] = v
+    return cfg
+
+
+def test_supervised_e2e(dataset, tmp_path):
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root)
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls_num_list = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+    train_dl = CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0)
+    valid_dl = EvalLoader(valid_m, cfg.DATA.BATCH_SIZE, size)
+
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(train_dl, valid_dl)
+    trainer.get_config(cfg, cls_num_list=cls_num_list,
+                       labeled_targets=train_m.targets)
+    loss = trainer.train_one(epoch=1)
+    assert np.isfinite(loss.avg)
+
+    valid_loss, metric = trainer.evaluate_one()
+    assert np.isfinite(valid_loss.avg)
+    assert 0.0 <= metric["macro/f1"] <= 1.0
+
+    # checkpoint round-trip restores params exactly
+    trainer.epoch = 1
+    path = trainer.save_checkpoint(str(tmp_path))
+    import jax
+    before = jax.tree.leaves(trainer.state.params)
+    trainer.state = jax.tree.map(lambda x: x * 0, trainer.state)
+    trainer.load_checkpoint(path, is_train=True)
+    after = jax.tree.leaves(trainer.state.params)
+    assert all(np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_fixmatch_e2e(dataset):
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"TRAIN.IS_SSL": True})
+    df = pd.read_csv(anno_csv)
+    labeled, unlabeled, valid, _ = build_ssl_manifests(cfg, df)
+    assert len(unlabeled) > 0
+    size = canonical_size(cfg)
+    lab_dl = CanonicalLoader(labeled, cfg.DATA.BATCH_SIZE, size, seed=0)
+    unl_dl = CanonicalLoader(unlabeled, cfg.DATA.BATCH_SIZE * cfg.DATA.MU, size, seed=1)
+    valid_dl = EvalLoader(valid, cfg.DATA.BATCH_SIZE, size)
+
+    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader((lab_dl, unl_dl), valid_dl)
+    trainer.get_config(cfg, labeled_targets=labeled.targets)
+
+    loss = trainer.train_one(epoch=1)
+    assert np.isfinite(loss.avg)
+
+    # EMA teacher must differ from student after steps but stay close
+    import jax
+    p = jax.tree.leaves(trainer.state.params)
+    e = jax.tree.leaves(trainer.state.ema_params)
+    assert any(not np.allclose(a, b) for a, b in zip(p, e))
+
+    valid_loss, metric = trainer.evaluate_one()
+    assert np.isfinite(valid_loss.avg)
+
+
+def test_pseudo_label_inference(dataset):
+    """Stage-1 real-SSL contract: inference() emits argmax×[maxprob>THRES]
+    (supervised.py:238-268)."""
+    img_root, anno_csv, unl_root, unanno_csv = dataset
+    cfg = make_config(img_root)
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size),
+        EvalLoader(valid_m, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, cls_num_list=cls, labeled_targets=train_m.targets)
+
+    from endoscopy_tpu.data.manifest import Manifest
+    udf = pd.read_csv(unanno_csv)
+    unl_m = Manifest.from_df(udf, unl_root)
+    unl_dl = EvalLoader(unl_m, cfg.DATA.BATCH_SIZE, size)
+    preds = trainer.inference(unl_dl)
+    assert len(preds) == len(unl_m)
+    assert all(0 <= v < cfg.MODEL.NUM_CLASSES for v in preds.values())
