@@ -59,3 +59,8 @@ class ModelwEmb(nn.Module):
 
     def features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return self.backbone(x, train=train)
+
+    def classify_features(self, fts: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """fc head on cached penultimate features — the EZBM stage-2 path
+        (ezbm.py:163-164 uses model.fc(inputs))."""
+        return self.fc(fts, train=train)

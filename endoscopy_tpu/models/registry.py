@@ -58,6 +58,42 @@ register_backbone("resnet152se")(resnet.resnet152se)
 register_backbone("seresnext50")(resnet.seresnext50)
 
 
+def _densenet161(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.densenet import densenet161
+    return densenet161(dtype=dtype)
+
+
+def _densenet121(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.densenet import densenet121
+    return densenet121(dtype=dtype)
+
+
+def _efficientnet_b1(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.efficientnet import efficientnet_b1
+    return efficientnet_b1(dtype=dtype)
+
+
+def _efficientnet_b0(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.efficientnet import efficientnet_b0
+    return efficientnet_b0(dtype=dtype)
+
+
+register_backbone("densenet161")(_densenet161)
+register_backbone("densenet121")(_densenet121)
+register_backbone("efficientnet_b1")(_efficientnet_b1)
+register_backbone("efficientnet_b0")(_efficientnet_b0)
+
+
+def _conformer(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.conformer import conformer_tiny
+    # dual-head model carries its own classifier; placeholder classes are
+    # replaced in build_model
+    return conformer_tiny(dtype=dtype)
+
+
+register_backbone("conformer")(_conformer)
+
+
 def create_backbone(name: str, dtype=jnp.bfloat16) -> nn.Module:
     if name not in _REGISTRY:
         raise ValueError(f"unknown model '{name}'; known: {list_models()}")
@@ -69,6 +105,14 @@ def build_model(config, is_pathology: bool = True) -> nn.Module:
     name = config.MODEL.NAME
     num_classes = int(config.MODEL.NUM_CLASSES)
     dtype = jnp.bfloat16 if config.TRAIN.get("DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+
+    if name == "conformer":
+        # dual-head model with its own classifier heads (build.py:92-131);
+        # the N-class heads are built directly (checkpoint surgery for the
+        # 1000→2→N transfer lives in ckpt/torch_import.py)
+        from endoscopy_tpu.models.conformer import conformer_tiny
+        return conformer_tiny(num_classes=num_classes, dtype=dtype)
+
     backbone = create_backbone(name, dtype=dtype)
 
     needs_emb = (config.MODEL.TYPE_SEMI == "CoMatch") or bool(config.MODEL.IS_TRIPLET)

@@ -41,9 +41,9 @@ class FixMatch(BaseTrainer):
         self.thres = float(config.TRAIN.THRES)
         self.T = float(config.TRAIN.T)
 
-        canonical = int(config.DATA.IMG_SIZE * (config.DATA.get("CANONICAL_SCALE", 1.2)
-                                                if config.DATA.IS_CROP else 1))
-        self._init_state((2, canonical, canonical, 3))
+        # init with the post-augmentation model input size (views crop
+        # canonical -> IMG_SIZE before the model ever runs)
+        self._init_state((2, self.img_size, self.img_size, 3))
         self._build_eval_step()
         self._build_train_step()
 
