@@ -68,47 +68,90 @@ def affine_warp(img: jnp.ndarray, mat: jnp.ndarray, fill: float = 0.0,
     return jnp.where(valid[..., None], out, fill)
 
 
-def rotate(img: jnp.ndarray, degrees: jnp.ndarray) -> jnp.ndarray:
-    """PIL Image.rotate(angle): counterclockwise about center (w/2, h/2),
-    nearest, black fill (randaugment.py:80-84). Matrix construction mirrors
-    PIL.Image.rotate's inverse mapping with theta = -radians(angle)."""
+# -- gather-free geometric ops ----------------------------------------------
+# TPU has no fast hardware gather: per-pixel warp gathers run on the scalar
+# core (~150ms for a 224x112² batch). All RandAugment geometry is therefore
+# expressed as PER-ROW INTEGER SHIFTS applied with one-hot matmuls that map
+# onto the MXU: out[y] = S_y @ img[y] where S_y is a (W_out, W_in) selection
+# matrix. Shears/translates are exactly row/column shifts under PIL's
+# pixel-center nearest sampling (x integer ⇒ floor(x + a) = x + floor(a));
+# rotation uses the Paeth three-shear decomposition.
+
+
+def _shift_rows(img: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """out[y, x] = img[y, x + shifts[y]] with zero fill (one-hot matmul)."""
     h, w = img.shape[0], img.shape[1]
-    cx, cy = w / 2.0, h / 2.0
-    theta = -jnp.deg2rad(degrees)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    c = cos * (-cx) + sin * (-cy) + cx
-    f = -sin * (-cx) + cos * (-cy) + cy
-    mat = jnp.stack([
-        jnp.stack([cos, sin, c]),
-        jnp.stack([-sin, cos, f]),
-    ])
-    return affine_warp(img, mat)
+    xo = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, 1, w), 2)
+    sel = (xo + shifts[:, None, None] == xi).astype(img.dtype)  # (h, w_out, w_in)
+    return jnp.einsum("yoi,yic->yoc", sel, img,
+                      preferred_element_type=jnp.float32).astype(img.dtype)
+
+
+def _shift_cols(img: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """out[y, x] = img[y + shifts[x], x] with zero fill."""
+    return _shift_rows(img.swapaxes(0, 1), shifts).swapaxes(0, 1)
 
 
 def shear_x(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """img.transform(AFFINE, (1, v, 0, 0, 1, 0)) (randaugment.py:92-96)."""
-    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
-    mat = mat.at[0, 1].set(v)
-    return affine_warp(img, mat)
+    """img.transform(AFFINE, (1, v, 0, 0, 1, 0)) (randaugment.py:92-96):
+    x_in = x + v*y at pixel centers → per-row shift floor(0.5 + v*(y+0.5))."""
+    h = img.shape[0]
+    yc = jax.lax.broadcasted_iota(jnp.float32, (h,), 0) + 0.5
+    # floor((x+0.5) + v*(y+0.5)) - x = floor(v*(y+0.5) + 0.5) for integer x
+    shifts = jnp.floor(v * yc + 0.5).astype(jnp.int32)
+    return _shift_rows(img, shifts)
 
 
 def shear_y(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
-    mat = mat.at[1, 0].set(v)
-    return affine_warp(img, mat)
+    w = img.shape[1]
+    xc = jax.lax.broadcasted_iota(jnp.float32, (w,), 0) + 0.5
+    shifts = jnp.floor(v * xc + 0.5).astype(jnp.int32)
+    return _shift_cols(img, shifts)
 
 
 def translate_x(img: jnp.ndarray, pixels: jnp.ndarray) -> jnp.ndarray:
     """img.transform(AFFINE, (1, 0, v, 0, 1, 0)) (randaugment.py:123-128)."""
-    mat = jnp.array([[1.0, 0.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
-    mat = mat.at[0, 2].set(pixels)
-    return affine_warp(img, mat)
+    h = img.shape[0]
+    shifts = jnp.full((h,), jnp.asarray(pixels, jnp.int32))
+    return _shift_rows(img, shifts)
 
 
 def translate_y(img: jnp.ndarray, pixels: jnp.ndarray) -> jnp.ndarray:
-    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], dtype=jnp.float32)
-    mat = mat.at[1, 2].set(pixels)
-    return affine_warp(img, mat)
+    w = img.shape[1]
+    shifts = jnp.full((w,), jnp.asarray(pixels, jnp.int32))
+    return _shift_cols(img, shifts)
+
+
+def _shear_rows_centered(img, coef, cy):
+    h = img.shape[0]
+    yc = jax.lax.broadcasted_iota(jnp.float32, (h,), 0) + 0.5 - cy
+    shifts = jnp.floor(coef * yc + 0.5).astype(jnp.int32)
+    return _shift_rows(img, shifts)
+
+
+def _shear_cols_centered(img, coef, cx):
+    w = img.shape[1]
+    xc = jax.lax.broadcasted_iota(jnp.float32, (w,), 0) + 0.5 - cx
+    shifts = jnp.floor(coef * xc + 0.5).astype(jnp.int32)
+    return _shift_cols(img, shifts)
+
+
+def rotate(img: jnp.ndarray, degrees: jnp.ndarray) -> jnp.ndarray:
+    """PIL Image.rotate(angle) semantics (CCW about the center, nearest,
+    black fill; randaugment.py:80-84) via the Paeth three-shear
+    decomposition: rot(θ) = shearX(-tan θ/2) ∘ shearY(sin θ) ∘
+    shearX(-tan θ/2). Each shear is a gather-free row/column-shift matmul;
+    per-pass nearest rounding deviates from single-pass nearest by ≤1px on a
+    small pixel fraction (tolerance-tested against PIL)."""
+    h, w = img.shape[0], img.shape[1]
+    cx, cy = w / 2.0, h / 2.0
+    theta = jnp.deg2rad(degrees)
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    out = _shear_rows_centered(img, a, cy)
+    out = _shear_cols_centered(out, b, cx)
+    return _shear_rows_centered(out, a, cy)
 
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -127,14 +170,21 @@ def center_crop(img: jnp.ndarray, size: int) -> jnp.ndarray:
 def random_crop_reflect(img: jnp.ndarray, size: int, padding: int,
                         key: jax.Array) -> jnp.ndarray:
     """transforms.RandomCrop(size, padding, padding_mode='reflect')
-    (dataset.py:35-37)."""
+    (dataset.py:35-37).
+
+    Implemented as two constant-shift one-hot matmuls + a static slice
+    instead of a per-sample dynamic_slice (which lowers to a scalar-core
+    gather under vmap on TPU)."""
     padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)),
                      mode="reflect")
-    max_off = padded.shape[0] - size
+    ph = padded.shape[0]
+    max_off = ph - size
     ky, kx = jax.random.split(key)
     top = jax.random.randint(ky, (), 0, max_off + 1)
     left = jax.random.randint(kx, (), 0, max_off + 1)
-    return jax.lax.dynamic_slice(padded, (top, left, 0), (size, size, img.shape[-1]))
+    shifted = _shift_rows(padded, jnp.full((ph,), left, jnp.int32))
+    shifted = _shift_cols(shifted, jnp.full((ph,), top, jnp.int32))
+    return shifted[:size, :size, :]
 
 
 def hflip(img: jnp.ndarray) -> jnp.ndarray:
@@ -236,29 +286,46 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
 
     PIL's LUT: step = (npix - count(last nonzero bin)) // 255;
     lut[i] = (step // 2 + cumsum(hist)[:i]) // step; identity if step == 0.
+
+    TPU note: the per-channel histogram is ONE fused broadcast-compare
+    reduction — pixels vs all 256 bins, summed over the pixel axis. XLA fuses
+    the compare into the reduce (the (N, c, 256) bool tensor is never
+    materialized), running at VPU speed (~0.1ms/224-image batch). Scatter-add
+    histograms serialize on TPU (~170ms) and lax.scan chunking adds ~6ms of
+    sequential-step overhead per chunk — both measured catastrophically
+    slower.
     """
     h, w, c = img.shape
-    q = jnp.clip(jnp.round(img), 0, 255).astype(jnp.int32)
+    n = h * w
+    q = jnp.clip(jnp.round(img), 0, 255).astype(jnp.int32).reshape(n, c)
 
-    def eq_channel(ch: jnp.ndarray) -> jnp.ndarray:
-        flat = ch.reshape(-1)
-        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
-        nonzero = hist > 0
-        # count of the highest-occupied bin
-        last_idx = 255 - jnp.argmax(nonzero[::-1])
-        last_count = hist[last_idx]
-        npix = flat.shape[0]
-        step = (npix - last_count) // 255
-        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)[:-1]])
-        lut = jnp.where(step > 0, (step // 2 + cum) // jnp.maximum(step, 1),
-                        jnp.arange(256))
-        lut = jnp.clip(lut, 0, 255)
-        use_identity = (jnp.sum(nonzero) <= 1) | (step == 0)
-        out = jnp.where(use_identity, flat, lut[flat])
-        return out.reshape(h, w)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    hist = jnp.sum(q[:, :, None] == bins, axis=0, dtype=jnp.int32)  # (c, 256)
+    hist = hist.T  # (256, c)
 
-    out = jnp.stack([eq_channel(q[..., i]) for i in range(c)], axis=-1)
-    return out.astype(img.dtype)
+    nonzero = hist > 0
+    last_idx = 255 - jnp.argmax(nonzero[::-1, :], axis=0)  # (c,)
+    last_count = jnp.take_along_axis(hist, last_idx[None, :], axis=0)[0]
+    step = (n - last_count) // 255  # (c,)
+    cdf = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.int32), jnp.cumsum(hist, axis=0)[:-1]], axis=0)
+    ramp = jax.lax.broadcasted_iota(jnp.int32, (256, c), 0)
+    lut = jnp.where(step[None, :] > 0,
+                    (step[None, :] // 2 + cdf) // jnp.maximum(step[None, :], 1),
+                    ramp)
+    lut = jnp.clip(lut, 0, 255)
+    use_identity = (jnp.sum(nonzero, axis=0) <= 1) | (step == 0)  # (c,)
+
+    # LUT application WITHOUT a per-pixel gather (TPU gathers run on the
+    # scalar core, ~150ms for this shape): lut[q] = lut[0] + sum_{i>=1}
+    # (lut[i]-lut[i-1]) * [q >= i] — another fused compare-reduce.
+    delta = (lut[1:] - lut[:-1]).T  # (c, 255)
+    base = lut[0]  # (c,)
+    edges = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 255), 2) + 1
+    ge = (q[:, :, None] >= edges).astype(jnp.int32)  # (N, c, 255), fused
+    out = base[None, :] + jnp.sum(ge * delta[None, :, :], axis=-1)
+    out = jnp.where(use_identity[None, :], q, out)
+    return out.reshape(h, w, c).astype(img.dtype)
 
 
 def cutout_abs(img: jnp.ndarray, size: jnp.ndarray, key: jax.Array,

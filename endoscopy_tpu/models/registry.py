@@ -78,6 +78,45 @@ def _efficientnet_b0(dtype=jnp.bfloat16):
     return efficientnet_b0(dtype=dtype)
 
 
+register_backbone("resnet50cbam")(resnet.resnet50cbam)
+register_backbone("resnet50sa")(resnet.resnet50sa)
+register_backbone("resnet50sasa")(resnet.resnet50sasa)
+
+
+def _swin_tiny(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.swin import swin_tiny
+    return swin_tiny(dtype=dtype)
+
+
+def _swin_small(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.swin import swin_small
+    return swin_small(dtype=dtype)
+
+
+def _swin_mlp_tiny(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.swin_mlp import swin_mlp_tiny
+    return swin_mlp_tiny(dtype=dtype)
+
+
+def _coatnet_0(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.coatnet import coatnet_0
+    return coatnet_0(dtype=dtype)
+
+
+def _vit_lsa(dtype=jnp.bfloat16):
+    from endoscopy_tpu.models.vit_lsa import vit_lsa_small
+    return vit_lsa_small(dtype=dtype)
+
+
+# timm-style aliases used by reference configs/code (build.py:44-67,
+# custom_model.py:83)
+register_backbone("swin")(_swin_tiny)
+register_backbone("swin_tiny_patch4_window7_224")(_swin_tiny)
+register_backbone("swin_small")(_swin_small)
+register_backbone("swin_mlp")(_swin_mlp_tiny)
+register_backbone("coatnet")(_coatnet_0)
+register_backbone("vit_lsa")(_vit_lsa)
+
 register_backbone("densenet161")(_densenet161)
 register_backbone("densenet121")(_densenet121)
 register_backbone("efficientnet_b1")(_efficientnet_b1)

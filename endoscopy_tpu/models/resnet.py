@@ -58,6 +58,11 @@ class Bottleneck(nn.Module):
     norm: ModuleDef = nn.BatchNorm
     dtype: Any = jnp.bfloat16
     expansion: int = 4
+    # attention variants (reference zoo): gate applied after conv3/bn3 like
+    # SE (cbam.py:150-170, sa.py:80-124); 'sasa' replaces the 3x3 conv
+    # (sasa.py:160-220)
+    attn: Optional[str] = None  # None | 'cbam' | 'sa'
+    spatial_sasa: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -68,9 +73,16 @@ class Bottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
-                    padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        if self.spatial_sasa:
+            from endoscopy_tpu.models.attention import SASALayer
+            y = SASALayer(width, dtype=self.dtype, name="sasa")(y)
+            if self.strides > 1:  # stride via pooling after attention
+                y = nn.avg_pool(y, (self.strides, self.strides),
+                                strides=(self.strides, self.strides))
+        else:
+            y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
+                        padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
+                        use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
@@ -78,6 +90,15 @@ class Bottleneck(nn.Module):
 
         if self.use_se:
             y = SEModule(out_ch, dtype=self.dtype, name="se")(y)
+        elif self.attn == "cbam":
+            from endoscopy_tpu.models.attention import CBAM
+            y = CBAM(out_ch, norm=self.norm, dtype=self.dtype, name="cbam")(y)
+        elif self.attn == "sa":
+            from endoscopy_tpu.models.attention import ShuffleAttention
+            # reference uses 64 groups on >=256-channel stages (sa.py:22);
+            # clamp for narrow test models
+            y = ShuffleAttention(out_ch, groups=min(64, out_ch // 4),
+                                 dtype=self.dtype, name="sa")(y)
 
         if residual.shape[-1] != out_ch or self.strides != 1:
             residual = nn.Conv(out_ch, (1, 1), strides=(self.strides, self.strides),
@@ -100,6 +121,8 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: Any = jnp.bfloat16
+    attn: Optional[str] = None       # 'cbam' | 'sa' gate per block
+    sasa_stages: Sequence[int] = ()  # stage indices whose 3x3 becomes SASA
 
     num_features: int = 2048  # informational; 512 * expansion
 
@@ -126,6 +149,8 @@ class ResNet(nn.Module):
                     base_width=self.base_width,
                     norm=norm,
                     dtype=self.dtype,
+                    attn=self.attn,
+                    spatial_sasa=stage in self.sasa_stages,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
 
@@ -158,3 +183,20 @@ def seresnext50(dtype=jnp.bfloat16) -> ResNet:
     """SEResNeXt-50 32x4d (se.py:286-297)."""
     return ResNet(stage_sizes=(3, 4, 6, 3), use_se=True, groups=32, base_width=4,
                   dtype=dtype)
+
+
+def resnet50cbam(dtype=jnp.bfloat16) -> ResNet:
+    """ResNet-50 with CBAM gates in every bottleneck (cbam.py:192-297)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), attn="cbam", dtype=dtype)
+
+
+def resnet50sa(dtype=jnp.bfloat16) -> ResNet:
+    """ResNet-50 with shuffle-attention gates (sa.py:126-238)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), attn="sa", dtype=dtype)
+
+
+def resnet50sasa(dtype=jnp.bfloat16) -> ResNet:
+    """ResNet-50 with stand-alone self-attention replacing the 3x3 convs in
+    the last two stages (sasa.py:220-453; full-SASA stems are impractically
+    slow in the reference too — it defaults attention to later stages)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), sasa_stages=(2, 3), dtype=dtype)
