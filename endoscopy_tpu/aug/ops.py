@@ -204,10 +204,11 @@ _L_WEIGHTS = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
 
 def _luminance(img: jnp.ndarray) -> jnp.ndarray:
     """PIL 'L' conversion: L = R*299/1000 + G*587/1000 + B*114/1000."""
-    return jnp.tensordot(img, _L_WEIGHTS, axes=([-1], [0]))
+    return jnp.tensordot(img, _L_WEIGHTS.astype(img.dtype), axes=([-1], [0]))
 
 
 def _blend(degenerate: jnp.ndarray, img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    factor = jnp.asarray(factor, img.dtype)
     return jnp.clip(degenerate + factor * (img - degenerate), 0.0, 255.0)
 
 
@@ -224,14 +225,15 @@ def color(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
 
 def contrast(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
     """ImageEnhance.Contrast: blend with solid gray = round(mean(L))."""
-    mean = jnp.floor(jnp.mean(_luminance(img)) + 0.5)
+    mean = jnp.floor(jnp.mean(_luminance(img).astype(jnp.float32)) + 0.5)
     return _blend(jnp.full_like(img, mean), img, factor)
 
 
 def sharpness(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
     """ImageEnhance.Sharpness: blend with SMOOTH-filtered image; PIL leaves
     the 1px border unfiltered."""
-    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    kernel = (jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]])
+              / 13.0).astype(img.dtype)
     # depthwise 3x3 via conv over HWC -> NHWC
     x = img[None]
     k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, img.shape[-1]))
@@ -258,7 +260,8 @@ def posterize(img: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
 
 def solarize(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
     """ImageOps.solarize: invert pixels >= threshold."""
-    return jnp.where(img >= threshold, 255.0 - img, img)
+    threshold = jnp.asarray(threshold, img.dtype)
+    return jnp.where(img >= threshold, jnp.asarray(255.0, img.dtype) - img, img)
 
 
 def solarize_add(img: jnp.ndarray, addition: jnp.ndarray,
@@ -276,7 +279,7 @@ def autocontrast(img: jnp.ndarray) -> jnp.ndarray:
     """ImageOps.autocontrast(cutoff=0): per-channel rescale min→0, max→255."""
     lo = jnp.min(img, axis=(0, 1), keepdims=True)
     hi = jnp.max(img, axis=(0, 1), keepdims=True)
-    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    scale = jnp.asarray(255.0, img.dtype) / jnp.maximum(hi - lo, jnp.asarray(1e-6, img.dtype))
     out = jnp.clip((img - lo) * scale, 0.0, 255.0)
     return jnp.where(hi > lo, out, img)
 
@@ -344,7 +347,7 @@ def cutout_abs(img: jnp.ndarray, size: jnp.ndarray, key: jax.Array,
     xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     # PIL ImageDraw.rectangle fills inclusive corners
     mask = (yg >= y0) & (yg <= y1) & (xg >= x0) & (xg <= x1)
-    return jnp.where(mask[..., None], fill, img)
+    return jnp.where(mask[..., None], jnp.asarray(fill, img.dtype), img)
 
 
 def grayscale(img: jnp.ndarray) -> jnp.ndarray:
@@ -386,4 +389,5 @@ def adjust_hue(img: jnp.ndarray, hue_factor: jnp.ndarray) -> jnp.ndarray:
     r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
     g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
     b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
-    return jnp.clip(jnp.stack([r2, g2, b2], axis=-1) * 255.0, 0.0, 255.0)
+    out = jnp.clip(jnp.stack([r2, g2, b2], axis=-1) * 255.0, 0.0, 255.0)
+    return out.astype(img.dtype)

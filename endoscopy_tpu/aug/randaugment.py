@@ -8,10 +8,15 @@ Per-sample semantics replicated exactly:
 - sign ops (rotate/shear/translate) negate with probability 0.5;
 - always CutoutAbs(16) at the end (randaugment.py:221).
 
-The 14-way dispatch is a ``lax.switch`` under ``vmap`` — every branch runs on
-the whole batch and results are selected. That costs ~25 MFLOP/sample, ~1% of
-a ResNet-50 fwd+bwd at 112px, and keeps the whole augmentation inside the
-fused jitted train step (no host round-trips, uint8 in HBM only once).
+TPU structure: under vmap every switch branch executes on the whole batch, so
+the implementation keeps each branch's real work minimal. The five geometric
+ops (rotate/shearX/shearY/translateX/translateY) are COMPOSED into one shared
+rows→cols→rows shift pipeline — per-op lax.switch only picks the (H,)/(W,)
+integer shift vectors (scalar-sized work), and the three gather-free one-hot
+shift matmuls run once per slot instead of once per geometric branch
+(rotation alone would be three). The nine color branches are a second switch
+whose ops are elementwise/reduce-only (ops.py keeps them scatter- and
+gather-free).
 """
 
 from __future__ import annotations
@@ -29,71 +34,109 @@ def _float_param(v: jnp.ndarray, max_v: float, bias: float = 0.0) -> jnp.ndarray
 
 def _int_param(v: jnp.ndarray, max_v: float, bias: float = 0.0) -> jnp.ndarray:
     """int(v * max_v / 10) + bias (randaugment.py:143-144)."""
-    return jnp.floor(v * max_v / 10.0) + bias
+    return jnp.trunc(v * max_v / 10.0) + bias
 
 
-def _pool(size: int):
-    """FixMatch augment pool (randaugment.py:147-163). Each branch:
-    fn(img, v, sign, key) -> img."""
+# op indices in the FixMatch pool (randaugment.py:147-163)
+_OP_AUTOCONTRAST = 0
+_OP_BRIGHTNESS = 1
+_OP_COLOR = 2
+_OP_CONTRAST = 3
+_OP_EQUALIZE = 4
+_OP_IDENTITY = 5
+_OP_POSTERIZE = 6
+_OP_ROTATE = 7
+_OP_SHARPNESS = 8
+_OP_SHEAR_X = 9
+_OP_SHEAR_Y = 10
+_OP_SOLARIZE = 11
+_OP_TRANSLATE_X = 12
+_OP_TRANSLATE_Y = 13
 
-    def auto_contrast(img, v, sign, key):
-        return ops.autocontrast(img)
 
-    def brightness(img, v, sign, key):
-        return ops.brightness(img, _float_param(v, 0.9, 0.05))
+def _geometry_shifts(op, v, sign, h: int, w: int):
+    """(s_rows1, s_cols, s_rows2) integer shift vectors implementing the
+    chosen geometric op; zeros for color ops (identity warp)."""
+    yc = jax.lax.broadcasted_iota(jnp.float32, (h,), 0) + 0.5
+    xc = jax.lax.broadcasted_iota(jnp.float32, (w,), 0) + 0.5
+    cy, cx = h / 2.0, w / 2.0
 
-    def color_(img, v, sign, key):
-        return ops.color(img, _float_param(v, 0.9, 0.05))
+    # rotate via Paeth three shears (see ops.rotate)
+    theta = jnp.deg2rad(sign * _int_param(v, 30.0))
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    rot_rows = jnp.floor(a * (yc - cy) + 0.5).astype(jnp.int32)
+    rot_cols = jnp.floor(b * (xc - cx) + 0.5).astype(jnp.int32)
 
-    def contrast(img, v, sign, key):
-        return ops.contrast(img, _float_param(v, 0.9, 0.05))
+    shear = sign * _float_param(v, 0.3)
+    shear_rows = jnp.floor(shear * yc + 0.5).astype(jnp.int32)
+    shear_cols = jnp.floor(shear * xc + 0.5).astype(jnp.int32)
 
-    def equalize(img, v, sign, key):
-        return ops.equalize(img)
+    # translate: int(v * size) truncates toward zero (randaugment.py:123-136)
+    trans_x = jnp.trunc(sign * _float_param(v, 0.3) * w).astype(jnp.int32)
+    trans_y = jnp.trunc(sign * _float_param(v, 0.3) * h).astype(jnp.int32)
 
-    def identity(img, v, sign, key):
-        return img
+    zeros_h = jnp.zeros((h,), jnp.int32)
+    zeros_w = jnp.zeros((w,), jnp.int32)
 
-    def posterize(img, v, sign, key):
-        return ops.posterize(img, _int_param(v, 4.0, 4.0))
+    s1 = jnp.select(
+        [op == _OP_ROTATE, op == _OP_SHEAR_X, op == _OP_TRANSLATE_X],
+        [rot_rows, shear_rows, jnp.full((h,), trans_x)], zeros_h)
+    s2 = jnp.select(
+        [op == _OP_ROTATE, op == _OP_SHEAR_Y, op == _OP_TRANSLATE_Y],
+        [rot_cols, shear_cols, jnp.full((w,), trans_y)], zeros_w)
+    s3 = jnp.where(op == _OP_ROTATE, rot_rows, zeros_h)
+    return s1, s2, s3
 
-    def rotate(img, v, sign, key):
-        return ops.rotate(img, sign * _int_param(v, 30.0))
 
-    def sharpness(img, v, sign, key):
-        return ops.sharpness(img, _float_param(v, 0.9, 0.05))
+def _color_branches():
+    """The nine non-geometric ops; each fn(img, v) (magnitudes per
+    randaugment.py:147-163)."""
+    return [
+        lambda img, v: ops.autocontrast(img),
+        lambda img, v: ops.brightness(img, _float_param(v, 0.9, 0.05)),
+        lambda img, v: ops.color(img, _float_param(v, 0.9, 0.05)),
+        lambda img, v: ops.contrast(img, _float_param(v, 0.9, 0.05)),
+        lambda img, v: ops.equalize(img),
+        lambda img, v: img,  # identity
+        lambda img, v: ops.posterize(img, _int_param(v, 4.0, 4.0)),
+        lambda img, v: ops.sharpness(img, _float_param(v, 0.9, 0.05)),
+        lambda img, v: ops.solarize(img, 256.0 - _int_param(v, 256.0)),
+    ]
 
-    def shear_x(img, v, sign, key):
-        return ops.shear_x(img, sign * _float_param(v, 0.3))
 
-    def shear_y(img, v, sign, key):
-        return ops.shear_y(img, sign * _float_param(v, 0.3))
+# op index -> color branch index (geometric ops route to identity=5)
+_COLOR_LOOKUP = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 5, 7, 5, 5, 8, 5, 5])
+_IS_GEOMETRY = jnp.asarray([False, False, False, False, False, False, False,
+                            True, False, True, True, False, True, True])
 
-    def solarize(img, v, sign, key):
-        return ops.solarize(img, 256.0 - _int_param(v, 256.0))
 
-    def translate_x(img, v, sign, key):
-        return ops.translate_x(img, jnp.floor(sign * _float_param(v, 0.3) * size))
+def randaugment_slot(img: jnp.ndarray, key: jax.Array, m: int = 10) -> jnp.ndarray:
+    """One RandAugmentMC op slot on a single image (float HWC, [0,255])."""
+    h, w = img.shape[0], img.shape[1]
+    k_op, k_v, k_apply, k_sign = jax.random.split(key, 4)
+    op = jax.random.randint(k_op, (), 0, 14)
+    v = jax.random.randint(k_v, (), 1, m).astype(jnp.float32)
+    sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
+    apply = jax.random.uniform(k_apply) < 0.5
 
-    def translate_y(img, v, sign, key):
-        return ops.translate_y(img, jnp.floor(sign * _float_param(v, 0.3) * size))
+    s1, s2, s3 = _geometry_shifts(op, v, sign, h, w)
+    geo = ops._shift_rows(img, s1)
+    geo = ops._shift_cols(geo, s2)
+    geo = ops._shift_rows(geo, s3)
 
-    return [auto_contrast, brightness, color_, contrast, equalize, identity,
-            posterize, rotate, sharpness, shear_x, shear_y, solarize,
-            translate_x, translate_y]
+    color_idx = _COLOR_LOOKUP[op]
+    color_out = jax.lax.switch(color_idx, _color_branches(), img, v)
+
+    out = jnp.where(_IS_GEOMETRY[op], geo, color_out.astype(img.dtype))
+    return jnp.where(apply, out, img)
 
 
 def randaugment_mc(img: jnp.ndarray, key: jax.Array, n: int = 2, m: int = 10
                    ) -> jnp.ndarray:
     """Single-image RandAugmentMC; img float32 HWC in [0,255]."""
-    branches = _pool(img.shape[1])
-    for _ in range(n):
-        key, k_op, k_v, k_apply, k_sign, k_extra = jax.random.split(key, 6)
-        op = jax.random.randint(k_op, (), 0, len(branches))
-        v = jax.random.randint(k_v, (), 1, m).astype(jnp.float32)
-        sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
-        apply = jax.random.uniform(k_apply) < 0.5
-        out = jax.lax.switch(op, branches, img, v, sign, k_extra)
-        img = jnp.where(apply, out, img)
+    for i in range(n):
+        key, k_slot = jax.random.split(key)
+        img = randaugment_slot(img, k_slot, m)
     key, k_cut = jax.random.split(key)
     return ops.cutout_abs(img, jnp.float32(16.0), k_cut)

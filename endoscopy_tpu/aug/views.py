@@ -28,12 +28,16 @@ IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
 
 def normalize(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """ToTensor + Normalize(mean, std) on [0,255] input."""
-    out = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    out = (img / 255.0 - IMAGENET_MEAN.astype(img.dtype)) / IMAGENET_STD.astype(img.dtype)
     return out.astype(dtype)
 
 
-def _to_float(batch_u8: jnp.ndarray) -> jnp.ndarray:
-    return batch_u8.astype(jnp.float32)
+def _to_float(batch_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 → augmentation compute dtype. bf16 halves HBM traffic through
+    the whole on-device aug pipeline; 0..255 integers are exact in bf16 and
+    color-op rounding stays well under the golden-test tolerance (ops run in
+    f32 on CPU tests)."""
+    return batch_u8.astype(dtype)
 
 
 def _center(img: jnp.ndarray, img_size: int) -> jnp.ndarray:
@@ -67,7 +71,7 @@ def _fixmatch_strong_one(img, key, img_size: int):
 def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
                    dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(weak, strong) from one canonical batch."""
-    x = _to_float(batch_u8)
+    x = _to_float(batch_u8, dtype)
     weak = jax.vmap(partial(_fixmatch_weak_one, img_size=img_size))(x)
     keys = jax.random.split(key, x.shape[0])
     strong = jax.vmap(partial(_fixmatch_strong_one, img_size=img_size))(x, keys)
@@ -94,10 +98,10 @@ def _comatch_strong0_one(img, key, img_size: int):
 def _color_jitter_one(img, key, b: float, c: float, s: float, h: float):
     """torchvision ColorJitter: random factors, random op order."""
     k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
-    fb = jax.random.uniform(k_b, (), minval=max(0.0, 1 - b), maxval=1 + b)
-    fc = jax.random.uniform(k_c, (), minval=max(0.0, 1 - c), maxval=1 + c)
-    fs = jax.random.uniform(k_s, (), minval=max(0.0, 1 - s), maxval=1 + s)
-    fh = jax.random.uniform(k_h, (), minval=-h, maxval=h)
+    fb = jax.random.uniform(k_b, (), img.dtype, max(0.0, 1 - b), 1 + b)
+    fc = jax.random.uniform(k_c, (), img.dtype, max(0.0, 1 - c), 1 + c)
+    fs = jax.random.uniform(k_s, (), img.dtype, max(0.0, 1 - s), 1 + s)
+    fh = jax.random.uniform(k_h, (), img.dtype, -h, h)
     order = jax.random.permutation(k_perm, 4)
 
     def apply_op(i, im):
@@ -123,7 +127,7 @@ def _comatch_strong1_one(img, key, img_size: int):
 def comatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
                   dtype=jnp.float32):
     """(weak, strong0, strong1) from one canonical batch."""
-    x = _to_float(batch_u8)
+    x = _to_float(batch_u8, dtype)
     kw, k0, k1 = jax.random.split(key, 3)
     n = x.shape[0]
     weak = jax.vmap(partial(_comatch_weak_one, img_size=img_size))(
@@ -154,7 +158,7 @@ def _labeled_train_one(img, key, img_size: int):
 
 def labeled_train_view(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
                        dtype=jnp.float32) -> jnp.ndarray:
-    x = _to_float(batch_u8)
+    x = _to_float(batch_u8, dtype)
     keys = jax.random.split(key, x.shape[0])
     out = jax.vmap(partial(_labeled_train_one, img_size=img_size))(x, keys)
     return normalize(out, dtype)
@@ -166,6 +170,6 @@ def labeled_train_view(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
 
 
 def eval_view(batch_u8: jnp.ndarray, img_size: int, dtype=jnp.float32) -> jnp.ndarray:
-    x = _to_float(batch_u8)
+    x = _to_float(batch_u8, dtype)
     out = jax.vmap(partial(_center, img_size=img_size))(x)
     return normalize(out, dtype)

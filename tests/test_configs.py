@@ -1,0 +1,29 @@
+"""Every shipped config preset loads and resolves to a buildable model."""
+
+import glob
+import os
+
+import pytest
+
+from endoscopy_tpu.config.loader import get_config, is_none
+from endoscopy_tpu.models import build_model
+from endoscopy_tpu.models.registry import list_models
+
+CONFIGS = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                        "configs", "*.yaml")))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_config_loads_and_model_builds(path):
+    cfg = get_config(path)
+    for section in ("DATA", "MODEL", "TRAIN"):
+        assert section in cfg
+    assert cfg.MODEL.NAME in list_models() or cfg.MODEL.NAME == "conformer"
+    model = build_model(cfg)
+    assert model is not None
+
+
+def test_none_string_contract():
+    cfg = get_config(CONFIGS[0])
+    # YAML 'None' parses as string; is_none collapses it (build.py:173 contract)
+    assert is_none("None") and is_none(None) and not is_none("arcface")

@@ -1,0 +1,91 @@
+"""RandAugmentMC structure tests: the composed-geometry slot must reproduce
+the standalone ops exactly (randaugment.py:147-163 magnitude contracts)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from endoscopy_tpu.aug import ops
+from endoscopy_tpu.aug.randaugment import (
+    _COLOR_LOOKUP,
+    _IS_GEOMETRY,
+    _float_param,
+    _geometry_shifts,
+    _int_param,
+    randaugment_mc,
+)
+
+H = W = 48
+
+
+@pytest.fixture
+def img(rng):
+    return jnp.asarray(rng.integers(0, 256, (H, W, 3)), jnp.float32)
+
+
+def apply_shifts(img, s1, s2, s3):
+    out = ops._shift_rows(img, s1)
+    out = ops._shift_cols(out, s2)
+    return ops._shift_rows(out, s3)
+
+
+def test_rotate_composition_matches_op(img):
+    v, sign = jnp.float32(6.0), jnp.float32(1.0)
+    s1, s2, s3 = _geometry_shifts(jnp.int32(7), v, sign, H, W)
+    composed = apply_shifts(img, s1, s2, s3)
+    direct = ops.rotate(img, sign * _int_param(v, 30.0))
+    np.testing.assert_allclose(np.asarray(composed), np.asarray(direct))
+
+
+@pytest.mark.parametrize("op,fn", [
+    (9, lambda im, v, s: ops.shear_x(im, s * _float_param(v, 0.3))),
+    (10, lambda im, v, s: ops.shear_y(im, s * _float_param(v, 0.3))),
+    (12, lambda im, v, s: ops.translate_x(im, jnp.trunc(s * _float_param(v, 0.3) * W))),
+    (13, lambda im, v, s: ops.translate_y(im, jnp.trunc(s * _float_param(v, 0.3) * H))),
+])
+def test_geometry_composition_matches_ops(img, op, fn):
+    v, sign = jnp.float32(4.0), jnp.float32(-1.0)
+    s1, s2, s3 = _geometry_shifts(jnp.int32(op), v, sign, H, W)
+    composed = apply_shifts(img, s1, s2, s3)
+    direct = fn(img, v, sign)
+    np.testing.assert_allclose(np.asarray(composed), np.asarray(direct))
+
+
+def test_color_ops_get_identity_geometry(img):
+    for op in (0, 1, 2, 3, 4, 5, 6, 8, 11):
+        s1, s2, s3 = _geometry_shifts(jnp.int32(op), jnp.float32(5.0),
+                                      jnp.float32(1.0), H, W)
+        out = apply_shifts(img, s1, s2, s3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+        assert not bool(_IS_GEOMETRY[op])
+
+
+def test_lookup_tables_consistent():
+    # geometry ops route to the identity color branch (5)
+    for op in (7, 9, 10, 12, 13):
+        assert bool(_IS_GEOMETRY[op])
+        assert int(_COLOR_LOOKUP[op]) == 5
+    # color ops map to their own branch
+    assert int(_COLOR_LOOKUP[4]) == 4  # equalize
+    assert int(_COLOR_LOOKUP[11]) == 8  # solarize
+
+
+def test_randaugment_always_cutouts(img, rng):
+    """CutoutAbs(16) always applied (randaugment.py:221): some gray-filled
+    128-ish rectangle must exist in most outputs."""
+    keys = jax.random.split(jax.random.key(0), 16)
+    outs = jax.vmap(lambda k: randaugment_mc(img, k))(keys)
+    frac_with_gray = np.mean([(np.asarray(o) == 127.0).all(-1).any()
+                              for o in outs])
+    assert frac_with_gray > 0.8  # some ops (e.g. posterize 127->124) may mask
+
+
+def test_randaugment_statistics(img):
+    """~50% of slots apply an op; outputs stay in [0, 255]."""
+    keys = jax.random.split(jax.random.key(1), 32)
+    outs = np.asarray(jax.vmap(lambda k: randaugment_mc(img, k))(keys))
+    assert outs.min() >= 0.0 and outs.max() <= 255.0
+    # different keys produce different augmentations
+    assert len({outs[i].tobytes() for i in range(8)}) > 4
