@@ -255,14 +255,36 @@ class BaseTrainer:
     def train_one(self, epoch: int) -> AverageMeter:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _metric_logger(self):
+        if not hasattr(self, "_logger"):
+            from endoscopy_tpu.utils.logging import MetricLogger
+            self._logger = MetricLogger(self.config.TRAIN.get("LOG_DIR"),
+                                        run_name=self.trainer_name.lower())
+        return self._logger
+
     def fit(self) -> None:
+        import time as _time
+
+        from endoscopy_tpu.utils.logging import Throughput
+
+        logger = self._metric_logger()
+        images_per_step = int(self.config.DATA.BATCH_SIZE) * (
+            1 + 2 * int(self.config.DATA.MU)
+            if self.config.TRAIN.IS_SSL else 1)
         for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS) + 1):
             self.epoch = epoch
             best = (f"{float(self.best_valid_perf):.3f}"
                     if self.best_valid_perf is not None else "inf")
             print(f"Training epoch: {epoch} | The best loss: {best}")
+            tput = Throughput(images_per_step)
+            t0 = _time.perf_counter()
             train_loss = self.train_one(epoch)
-            print(f"\tTrain Loss: {train_loss.avg:.3f}")
+            steps = getattr(self, "n_iter_per_epoch",
+                            int(self.config.TRAIN.get("EVAL_STEP", 1)))
+            imgs_per_sec = steps * images_per_step / max(_time.perf_counter() - t0, 1e-9)
+            print(f"\tTrain Loss: {train_loss.avg:.3f} | {imgs_per_sec:.0f} img/s")
+            logger.log({"loss/train": train_loss.avg,
+                        "throughput/images_per_sec": imgs_per_sec}, epoch=epoch)
             if epoch % int(self.config.TRAIN.FREQ_EVAL) == 0:
                 valid_loss, valid_metric = self.evaluate_one()
                 if self.best_valid_perf is None or self.best_valid_perf > valid_loss.avg:
@@ -271,3 +293,6 @@ class BaseTrainer:
                     self.save_checkpoint(self.config.TRAIN.SAVE_CP)
                 print(f"\tValid Loss: {valid_loss.avg:.3f}")
                 print(f"\tMetric: { {k: v for k, v in valid_metric.items() if k != 'sen/spec'} }")
+                logger.log({"loss/valid": valid_loss.avg,
+                            "metric/macro_f1": float(valid_metric["macro/f1"])},
+                           epoch=epoch)
