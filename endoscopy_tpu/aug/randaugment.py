@@ -111,15 +111,20 @@ _IS_GEOMETRY = jnp.asarray([False, False, False, False, False, False, False,
                             True, False, True, True, False, True, True])
 
 
-def randaugment_slot(img: jnp.ndarray, key: jax.Array, m: int = 10) -> jnp.ndarray:
-    """One RandAugmentMC op slot on a single image (float HWC, [0,255])."""
-    h, w = img.shape[0], img.shape[1]
+def sample_slot_params(key: jax.Array, m: int = 10):
+    """Draw one slot's (op, v, sign, apply) with the reference distribution
+    (randaugment.py:215-220)."""
     k_op, k_v, k_apply, k_sign = jax.random.split(key, 4)
     op = jax.random.randint(k_op, (), 0, 14)
     v = jax.random.randint(k_v, (), 1, m).astype(jnp.float32)
     sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
     apply = jax.random.uniform(k_apply) < 0.5
+    return op, v, sign, apply
 
+
+def apply_slot(img: jnp.ndarray, op, v, sign, apply) -> jnp.ndarray:
+    """Apply one sampled op slot to a single image (float HWC, [0,255])."""
+    h, w = img.shape[0], img.shape[1]
     s1, s2, s3 = _geometry_shifts(op, v, sign, h, w)
     geo = ops._shift_rows(img, s1)
     geo = ops._shift_cols(geo, s2)
@@ -132,9 +137,14 @@ def randaugment_slot(img: jnp.ndarray, key: jax.Array, m: int = 10) -> jnp.ndarr
     return jnp.where(apply, out, img)
 
 
+def randaugment_slot(img: jnp.ndarray, key: jax.Array, m: int = 10) -> jnp.ndarray:
+    """One RandAugmentMC op slot on a single image (float HWC, [0,255])."""
+    return apply_slot(img, *sample_slot_params(key, m))
+
+
 def randaugment_mc(img: jnp.ndarray, key: jax.Array, n: int = 2, m: int = 10
                    ) -> jnp.ndarray:
-    """Single-image RandAugmentMC; img float32 HWC in [0,255]."""
+    """Single-image RandAugmentMC; img float HWC in [0,255]."""
     for i in range(n):
         key, k_slot = jax.random.split(key)
         img = randaugment_slot(img, k_slot, m)

@@ -21,6 +21,26 @@ import jax.numpy as jnp
 from endoscopy_tpu.aug import ops
 from endoscopy_tpu.aug.randaugment import randaugment_mc
 
+# None = auto (Pallas per-sample-dispatch kernel on TPU, XLA path elsewhere);
+# True/False forces. The kernel executes only each sample's chosen op instead
+# of all 14 pool branches (ops/randaugment_kernel.py) — ~30x faster on v5e.
+USE_PALLAS_RANDAUG = None
+
+
+def _pallas_randaug_enabled() -> bool:
+    if USE_PALLAS_RANDAUG is not None:
+        return bool(USE_PALLAS_RANDAUG)
+    return jax.default_backend() != "cpu"
+
+
+def _randaugment_batch(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Batch RandAugmentMC(2,10)+Cutout via the fastest available path."""
+    if _pallas_randaug_enabled():
+        from endoscopy_tpu.ops.randaugment_kernel import randaugment_mc_pallas
+        return randaugment_mc_pallas(x.astype(jnp.float32), key).astype(x.dtype)
+    keys = jax.random.split(key, x.shape[0])
+    return jax.vmap(randaugment_mc)(x, keys)
+
 # ImageNet statistics (dataset.py:21-22)
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
@@ -60,12 +80,12 @@ def _fixmatch_weak_one(img, img_size: int):
     return _center(img, img_size)
 
 
-def _fixmatch_strong_one(img, key, img_size: int):
-    k_flip, k_crop, k_ra = jax.random.split(key, 3)
+def _fixmatch_strong_pre(img, key, img_size: int):
+    """Strong view minus RandAugment (applied batch-wise afterwards)."""
+    k_flip, k_crop = jax.random.split(key)
     img = _center(img, img_size)
     img = _maybe(ops.hflip, img, k_flip, 0.5)
-    img = ops.random_crop_reflect(img, img_size, int(img_size * 0.125), k_crop)
-    return randaugment_mc(img, k_ra, n=2, m=10)
+    return ops.random_crop_reflect(img, img_size, int(img_size * 0.125), k_crop)
 
 
 def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
@@ -73,8 +93,10 @@ def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
     """(weak, strong) from one canonical batch."""
     x = _to_float(batch_u8, dtype)
     weak = jax.vmap(partial(_fixmatch_weak_one, img_size=img_size))(x)
-    keys = jax.random.split(key, x.shape[0])
-    strong = jax.vmap(partial(_fixmatch_strong_one, img_size=img_size))(x, keys)
+    k_pre, k_ra = jax.random.split(key)
+    keys = jax.random.split(k_pre, x.shape[0])
+    strong = jax.vmap(partial(_fixmatch_strong_pre, img_size=img_size))(x, keys)
+    strong = _randaugment_batch(strong, k_ra)
     return normalize(weak, dtype), normalize(strong, dtype)
 
 
@@ -88,11 +110,9 @@ def _comatch_weak_one(img, key, img_size: int):
     return _maybe(ops.hflip, img, key, 0.5)
 
 
-def _comatch_strong0_one(img, key, img_size: int):
-    k_flip, k_ra = jax.random.split(key)
+def _comatch_strong0_pre(img, key, img_size: int):
     img = _center(img, img_size)
-    img = _maybe(ops.hflip, img, k_flip, 0.5)
-    return randaugment_mc(img, k_ra, n=2, m=10)
+    return _maybe(ops.hflip, img, key, 0.5)
 
 
 def _color_jitter_one(img, key, b: float, c: float, s: float, h: float):
@@ -132,8 +152,10 @@ def comatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
     n = x.shape[0]
     weak = jax.vmap(partial(_comatch_weak_one, img_size=img_size))(
         x, jax.random.split(kw, n))
-    s0 = jax.vmap(partial(_comatch_strong0_one, img_size=img_size))(
-        x, jax.random.split(k0, n))
+    k0_pre, k0_ra = jax.random.split(k0)
+    s0 = jax.vmap(partial(_comatch_strong0_pre, img_size=img_size))(
+        x, jax.random.split(k0_pre, n))
+    s0 = _randaugment_batch(s0, k0_ra)
     s1 = jax.vmap(partial(_comatch_strong1_one, img_size=img_size))(
         x, jax.random.split(k1, n))
     return normalize(weak, dtype), normalize(s0, dtype), normalize(s1, dtype)
