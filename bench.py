@@ -66,21 +66,30 @@ def main() -> None:
     u = rng.integers(0, 255, (b * mu, size, size, 3)).astype(np.uint8)
     weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
 
-    sharded = trainer._shard(x_lb, targets, u)
+    k = 8  # steps per dispatch (TRAIN.STEPS_PER_CALL; lax.scan in-device)
+    xk = np.stack([x_lb] * k)
+    tk = np.stack([targets] * k)
+    uk = np.stack([u] * k)
+    sharded = trainer._shard_stacked(xk, tk, uk)
 
-    # warmup / compile
+    # warmup / compile. NOTE: through the remote TPU relay in this
+    # environment, block_until_ready does NOT actually synchronize — a host
+    # fetch of a value data-dependent on the final step is the only reliable
+    # barrier. Each scan step consumes the previous state, so fetching the
+    # last loss forces the whole chain.
     state = trainer.state
-    for _ in range(3):
-        state, loss, _ = trainer._train_step(state, *sharded, weights,
+    for _ in range(2):
+        state, losses = trainer._train_multi(state, *sharded, weights,
                                              trainer._next_rng())
-    jax.block_until_ready(state)
+    float(losses[-1])
 
-    steps = 20
+    calls = 5
+    steps = calls * k
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss, _ = trainer._train_step(state, *sharded, weights,
+    for _ in range(calls):
+        state, losses = trainer._train_multi(state, *sharded, weights,
                                              trainer._next_rng())
-    jax.block_until_ready(state)
+    float(losses[-1])  # hard barrier (see note above)
     dt = time.perf_counter() - t0
 
     imgs_per_step = b * (1 + 2 * mu)

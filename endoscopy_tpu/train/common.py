@@ -140,6 +140,14 @@ class BaseTrainer:
     def _shard(self, *arrays):
         return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
 
+    def _shard_stacked(self, *arrays):
+        """For (K, B, ...) stacks of K per-step batches: batch axis 1 is the
+        data-parallel axis; the scan axis K stays unsharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return tuple(jax.device_put(a, sh) for a in arrays)
+
     # -- evaluation ---------------------------------------------------------
 
     def _build_eval_step(self):

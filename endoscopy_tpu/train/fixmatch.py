@@ -105,20 +105,61 @@ class FixMatch(BaseTrainer):
 
         self._train_step = train_step
 
+        def multi_step(state, x_lb_u8_k, targets_k, u_canon_u8_k, weights, rng):
+            """K steps per dispatch via lax.scan — amortizes host-dispatch
+            latency (dominant through remote relays; also standard TPU
+            practice to keep the device fed)."""
+
+            def body(carry, inp):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                x_u8, t, u_u8 = inp
+                new_st, loss, _ = train_step(st, x_u8, t, u_u8, weights, sub)
+                return (new_st, key), loss
+
+            (new_state, _), losses = jax.lax.scan(
+                body, (state, rng), (x_lb_u8_k, targets_k, u_canon_u8_k))
+            return new_state, losses
+
+        self._train_multi = jax.jit(multi_step)
+
     def train_one(self, epoch: int) -> AverageMeter:
+        import numpy as np
+
         summary_loss = AverageMeter()
         weights = self.class_weights
         if weights is None:
             weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
         labeled_iter = iter(self.train_dl[0])
         unlabeled_iter = iter(self.train_dl[1])
-        for _ in range(int(self.config.TRAIN.EVAL_STEP)):
-            x_lb, targets = next(labeled_iter)
-            u_canon, _ = next(unlabeled_iter)
-            self.state, loss, _ = self._train_step(
-                self.state, *self._shard(x_lb, targets, u_canon), weights,
-                self._next_rng())
-            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+        total = int(self.config.TRAIN.EVAL_STEP)
+        k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
+        done = 0
+        while done < total:
+            k_here = min(k, total - done)
+            xs, ts, us = [], [], []
+            for _ in range(k_here):
+                x_lb, targets = next(labeled_iter)
+                u_canon, _ = next(unlabeled_iter)
+                xs.append(x_lb)
+                ts.append(targets)
+                us.append(u_canon)
+            if k_here == k:
+                self.state, losses = self._train_multi(
+                    self.state, *self._shard_stacked(np.stack(xs), np.stack(ts),
+                                                     np.stack(us)),
+                    weights, self._next_rng())
+                for loss in np.asarray(losses):
+                    summary_loss.update(float(loss),
+                                        int(self.config.DATA.BATCH_SIZE))
+            else:  # ragged tail: per-step path keeps one compiled multi shape
+                for x_lb, targets, u_canon in zip(xs, ts, us):
+                    self.state, loss, _ = self._train_step(
+                        self.state, *self._shard(x_lb, targets, u_canon),
+                        weights, self._next_rng())
+                    summary_loss.update(float(loss),
+                                        int(self.config.DATA.BATCH_SIZE))
+            done += k_here
         return summary_loss
 
     def get_dataloader(self, train_dl, valid_dl, test_dl=None) -> None:
