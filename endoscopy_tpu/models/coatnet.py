@@ -150,7 +150,7 @@ class CoAtNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
 
         # s0: conv stem, first block strides 2 (conv_3x3_bn)

@@ -100,7 +100,7 @@ class ConvBlock(nn.Module):
     def __call__(self, x, x_t: Optional[jnp.ndarray] = None,
                  return_x2: bool = True, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-6, dtype=jnp.float32)
+                       momentum=0.9, epsilon=1e-6, dtype=self.dtype)
         med = self.outplanes // 4
         residual = x
         y = nn.Conv(med, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -162,7 +162,7 @@ class FCUUp(nn.Module):
         y = x_t[:, 1:].reshape(b, h, w, x_t.shape[-1]).astype(self.dtype)
         y = nn.Conv(self.outplanes, (1, 1), dtype=self.dtype, name="conv_project")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-6, dtype=jnp.float32, name="bn")(y)
+                         epsilon=1e-6, dtype=self.dtype, name="bn")(y)
         y = nn.relu(y)
         y = jnp.repeat(jnp.repeat(y, self.up_stride, axis=1), self.up_stride, axis=2)
         return y
@@ -222,7 +222,7 @@ class Conformer(nn.Module):
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         assert self.depth % 3 == 0
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-6, dtype=jnp.float32)
+                       momentum=0.9, epsilon=1e-6, dtype=self.dtype)
         b = x.shape[0]
         x = x.astype(self.dtype)
 

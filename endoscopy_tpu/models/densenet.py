@@ -60,7 +60,7 @@ class DenseNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
         x = nn.Conv(self.num_init_features, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,

@@ -85,7 +85,7 @@ class EfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-3, dtype=jnp.float32)
+                       momentum=0.9, epsilon=1e-3, dtype=self.dtype)
         x = x.astype(self.dtype)
         stem = _round_channels(32 * self.width_mult)
         x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
