@@ -54,8 +54,12 @@ def build_data(config, type_semi: str = "FixMatch"):
     return train_dl, valid_dl, cls_num_list, train.targets
 
 
-def make_trainer(config, model):
-    """Trainer dispatch (learn.py:59-75)."""
+def make_trainer(config, model, trainer_override=None):
+    """Trainer dispatch (learn.py:59-75); ``trainer_override='ezbm'`` selects
+    the EZBM two-stage trainer (the reference drives it from notebooks)."""
+    if trainer_override == "ezbm":
+        from endoscopy_tpu.train.ezbm import EZBM
+        return EZBM(model=model, opt_func=config.TRAIN.OPT_NAME)
     if config.TRAIN.IS_SSL:
         type_semi = config.MODEL.TYPE_SEMI
         if type_semi == "FixMatch":
@@ -72,15 +76,15 @@ def make_trainer(config, model):
     return SupLearning(model=model, opt_func=config.TRAIN.OPT_NAME)
 
 
-def run_config(config, model=None):
+def run_config(config, model=None, trainer_override=None):
     type_semi = config.MODEL.TYPE_SEMI
     train_dl, valid_dl, cls_num_list, labeled_targets = build_data(
         config, type_semi)
     if model is None:
         model = build_model(config)
-    trainer = make_trainer(config, model)
+    trainer = make_trainer(config, model, trainer_override)
     trainer.get_dataloader(train_dl, valid_dl)
-    if config.TRAIN.IS_SSL:
+    if config.TRAIN.IS_SSL and trainer_override != "ezbm":
         trainer.get_config(config, labeled_targets=labeled_targets)
     else:
         trainer.get_config(config, cls_num_list=cls_num_list,
@@ -96,6 +100,8 @@ def main(argv=None) -> None:
     parser.add_argument("--config-1", required=True)
     parser.add_argument("--config-2", default=None,
                         help="second stage for progressive resizing")
+    parser.add_argument("--trainer", default=None, choices=[None, "ezbm"],
+                        help="override trainer dispatch (e.g. EZBM two-stage)")
     args = parser.parse_args(argv)
 
     configs = [get_config(args.config_1)]
@@ -105,7 +111,8 @@ def main(argv=None) -> None:
     model = None
     for idx, config in enumerate(configs):
         print(f"=== stage {idx} | IMG_SIZE={config.DATA.IMG_SIZE} ===")
-        trainer, model = run_config(config, model=model)
+        trainer, model = run_config(config, model=model,
+                                    trainer_override=args.trainer)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ class SupLearning(BaseTrainer):
         self.lambda_c = float(config.TRAIN.LAMBDA_C)
         self.is_triplet = bool(config.MODEL.IS_TRIPLET)
         self.margin = None if is_none(config.MODEL.MARGIN) else str(config.MODEL.MARGIN)
+        # timm-Mixup capability (reference ships it disabled,
+        # dataset.py:322-330; knobs live in every config)
+        self.mixup_active = (float(config.TRAIN.get("MIXUP", 0.0)) > 0
+                             or float(config.TRAIN.get("CUTMIX", 0.0)) > 0)
 
         # init with the post-augmentation model input size (views crop
         # canonical -> IMG_SIZE before the model ever runs)
@@ -76,7 +80,25 @@ class SupLearning(BaseTrainer):
         margin = self.margin
         lambda_c = self.lambda_c
 
+        mixup_active = self.mixup_active
+        mixup_kw = dict(
+            num_classes=int(self.config.MODEL.NUM_CLASSES),
+            mixup_alpha=float(self.config.TRAIN.get("MIXUP", 0.0)),
+            cutmix_alpha=float(self.config.TRAIN.get("CUTMIX", 0.0)),
+            prob=float(self.config.TRAIN.get("MIXUP_PROB", 1.0)),
+            switch_prob=float(self.config.TRAIN.get("MIXUP_SWITCH_PROB", 0.5)),
+            label_smoothing=float(self.config.TRAIN.get("LABEL_SMOOTHING", 0.1)))
+
         def loss_plain(params, batch_stats, x, targets, weights, rng):
+            if mixup_active:
+                from endoscopy_tpu.aug.mixup import mixup_cutmix
+                from endoscopy_tpu.losses import soft_ce_loss
+
+                k_mix, rng = jax.random.split(rng)
+                x, soft = mixup_cutmix(x, targets, k_mix, **mixup_kw)
+                out, new_bs = apply_train(model, params, batch_stats, x, rng)
+                logits = model_logits(model, out).astype(jnp.float32)
+                return jnp.mean(soft_ce_loss(logits, soft)), new_bs
             out, new_bs = apply_train(model, params, batch_stats, x, rng)
             logits = model_logits(model, out).astype(jnp.float32)
             loss = ce_loss(logits, targets, class_weights=weights, reduction="mean")
@@ -144,6 +166,22 @@ class SupLearning(BaseTrainer):
 
         self._train_step = train_step
 
+        def multi_step(state, x_k, targets_k, weights, rng):
+            """K steps per dispatch via lax.scan (see fixmatch.py)."""
+
+            def body(carry, inp):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                x_u8, t = inp
+                new_st, loss, _ = train_step(st, x_u8, t, weights, sub)
+                return (new_st, key), loss
+
+            (new_state, _), losses = jax.lax.scan(body, (state, rng),
+                                                  (x_k, targets_k))
+            return new_state, losses
+
+        self._train_multi = jax.jit(multi_step)
+
     def _build_triplet_batch(self, batch_u8, targets):
         """Host-side triplet sampling (dataset.py:279-306 rejection sampling
         → here: same-class positive, different-class negative drawn from the
@@ -172,14 +210,33 @@ class SupLearning(BaseTrainer):
             weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
 
         it = iter(self.train_dl)
-        for _ in range(self.n_iter_per_epoch):
-            batch_u8, targets = next(it)
-            if self.is_triplet:
-                batch_u8 = self._build_triplet_batch(batch_u8, targets)
-            self.state, loss, _ = self._train_step(
-                self.state, *self._shard(batch_u8, targets), weights,
-                self._next_rng())
-            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+        total = self.n_iter_per_epoch
+        k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
+        done = 0
+        while done < total:
+            k_here = min(k, total - done)
+            xs, ts = [], []
+            for _ in range(k_here):
+                batch_u8, targets = next(it)
+                if self.is_triplet:
+                    batch_u8 = self._build_triplet_batch(batch_u8, targets)
+                xs.append(batch_u8)
+                ts.append(targets)
+            if k_here == k:
+                self.state, losses = self._train_multi(
+                    self.state, *self._shard_stacked(np.stack(xs), np.stack(ts)),
+                    weights, self._next_rng())
+                for loss in np.asarray(losses):
+                    summary_loss.update(float(loss),
+                                        int(self.config.DATA.BATCH_SIZE))
+            else:
+                for batch_u8, targets in zip(xs, ts):
+                    self.state, loss, _ = self._train_step(
+                        self.state, *self._shard(batch_u8, targets), weights,
+                        self._next_rng())
+                    summary_loss.update(float(loss),
+                                        int(self.config.DATA.BATCH_SIZE))
+            done += k_here
         return summary_loss
 
     # fit with early stop + loss∧F1 checkpoint gate (supervised.py:316-364)

@@ -89,3 +89,33 @@ def test_randaugment_statistics(img):
     assert outs.min() >= 0.0 and outs.max() <= 255.0
     # different keys produce different augmentations
     assert len({outs[i].tobytes() for i in range(8)}) > 4
+
+
+def test_mixup_cutmix_semantics(rng):
+    """Mixup/CutMix: soft targets sum to 1; cutmix lam equals realized box
+    area; passthrough when prob=0 (timm Mixup semantics, aug/mixup.py)."""
+    from endoscopy_tpu.aug.mixup import mixup_cutmix
+
+    x = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 6, (8,)))
+    mx, my = mixup_cutmix(x, y, jax.random.key(0), num_classes=6,
+                          mixup_alpha=0.8, cutmix_alpha=1.0,
+                          label_smoothing=0.0)
+    np.testing.assert_allclose(np.asarray(my).sum(axis=1), np.ones(8), rtol=1e-5)
+    assert mx.shape == x.shape
+    # passthrough
+    px, py = mixup_cutmix(x, y, jax.random.key(0), num_classes=6,
+                          mixup_alpha=0.8, cutmix_alpha=0.0, prob=0.0,
+                          label_smoothing=0.0)
+    np.testing.assert_allclose(np.asarray(px), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(py),
+                               np.eye(6)[np.asarray(y)], atol=1e-6)
+    # cutmix-only: mixed pixels come from x or flipped x exactly
+    cx, cy = mixup_cutmix(x, y, jax.random.key(3), num_classes=6,
+                          mixup_alpha=0.0, cutmix_alpha=1.0, switch_prob=1.0,
+                          label_smoothing=0.0)
+    cx = np.asarray(cx)
+    src_a = np.asarray(x)
+    src_b = np.asarray(x)[::-1]
+    match = (cx == src_a) | (cx == src_b)
+    assert match.all()
