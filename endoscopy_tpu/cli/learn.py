@@ -28,6 +28,14 @@ from endoscopy_tpu.data.pipeline import CanonicalLoader, EvalLoader, canonical_s
 from endoscopy_tpu.models import build_model
 
 
+def _make_train_loader(manifest, bs, size, seed, workers, config):
+    if config.DATA.get("LOADER") == "native":
+        from endoscopy_tpu.data.native_loader import NativeCanonicalLoader
+        return NativeCanonicalLoader(manifest, bs, size, seed=seed,
+                                     num_threads=workers)
+    return CanonicalLoader(manifest, bs, size, seed=seed, num_workers=workers)
+
+
 def build_data(config, type_semi: str = "FixMatch"):
     """get_data equivalent (dataset.py:314-444) returning loaders."""
     df_anno = pd.read_csv(config.DATA.ANNO)
@@ -41,15 +49,15 @@ def build_data(config, type_semi: str = "FixMatch"):
             df_unanno = pd.read_csv(config.DATA.UNANNO)
         labeled, unlabeled, valid, cls_num_list = build_ssl_manifests(
             config, df_anno, df_unanno)
-        lab_dl = CanonicalLoader(labeled, bs, size, num_workers=workers)
-        unl_dl = CanonicalLoader(unlabeled, bs * int(config.DATA.MU), size,
-                                 seed=1, num_workers=workers)
+        lab_dl = _make_train_loader(labeled, bs, size, 0, workers, config)
+        unl_dl = _make_train_loader(unlabeled, bs * int(config.DATA.MU), size,
+                                    1, workers, config)
         valid_dl = EvalLoader(valid, bs, size, num_workers=workers)
         return (lab_dl, unl_dl), valid_dl, cls_num_list, labeled.targets
 
     train, valid, cls_num_list = build_supervised_manifests(
         config, df_anno, is_full_sup=True)
-    train_dl = CanonicalLoader(train, bs, size, num_workers=workers)
+    train_dl = _make_train_loader(train, bs, size, 0, workers, config)
     valid_dl = EvalLoader(valid, bs, size, num_workers=workers)
     return train_dl, valid_dl, cls_num_list, train.targets
 

@@ -93,6 +93,7 @@ _DEFAULTS: dict = {
         "TARGET_NAME": "target",
         "IS_CROP": True,
         "CANONICAL_SCALE": 1.2,
+        "LOADER": "python",  # 'native' = C++ libjpeg loader (native/loader.cpp)
     },
     "MODEL": {
         "NUM_CLASSES": 6,
@@ -145,6 +146,8 @@ _DEFAULTS: dict = {
         "MESH_MODEL": 1,   # tensor-parallel width for wide heads
         "DTYPE": "bfloat16",
         "SEED": 42,
+        "STEPS_PER_CALL": 8,  # train steps fused per dispatch (lax.scan)
+        "LOG_DIR": "",
     },
 }
 

@@ -4,7 +4,6 @@ abnormal classifier and full-supervised runs, configs/kaggle_supervised_abnorm
 
 MBConv: 1x1 expand → depthwise kxk → SE(0.25 of input channels) → 1x1
 project, SiLU activations, residual when stride 1 and channels match.
-bf16 compute, f32 BN.
 """
 
 from __future__ import annotations
