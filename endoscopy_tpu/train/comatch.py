@@ -210,6 +210,24 @@ class CoMatch(BaseTrainer):
 
         self._train_step = train_step
 
+        def multi_step(state, cstate, x_k, t_k, u_k, weights, use_queue_k, rng):
+            """K steps per dispatch (see fixmatch.py); the CoMatch queue/DA
+            state threads through the scan carry."""
+
+            def body(carry, inp):
+                st, cst, key = carry
+                key, sub = jax.random.split(key)
+                x_u8, t, u_u8, use_q = inp
+                new_st, new_cst, loss, _ = train_step(st, cst, x_u8, t, u_u8,
+                                                      weights, use_q, sub)
+                return (new_st, new_cst, key), loss
+
+            (new_state, new_cstate, _), losses = jax.lax.scan(
+                body, (state, cstate, rng), (x_k, t_k, u_k, use_queue_k))
+            return new_state, new_cstate, losses
+
+        self._train_multi = jax.jit(multi_step)
+
     def get_dataloader(self, train_dl, valid_dl, test_dl=None) -> None:
         """train_dl = (labeled_loader, unlabeled_loader) (comatch.py:41-45)."""
         self.train_dl = train_dl
@@ -217,21 +235,44 @@ class CoMatch(BaseTrainer):
         self.test_dl = test_dl
 
     def train_one(self, epoch: int) -> AverageMeter:
+        import numpy as np
+
         summary_loss = AverageMeter()
         weights = self.class_weights
         if weights is None:
             weights = jnp.ones(self.num_classes, jnp.float32)
         labeled_iter = iter(self.train_dl[0])
         unlabeled_iter = iter(self.train_dl[1])
-        for batch_idx in range(int(self.config.TRAIN.EVAL_STEP)):
-            x_u8, targets = next(labeled_iter)
-            u_canon, _ = next(unlabeled_iter)
-            # smoothing gate (comatch.py:179)
-            use_queue = jnp.asarray(
-                (epoch > 0) or (batch_idx > self.queue_batch), bool)
-            self.state, self.comatch_state, loss, _ = self._train_step(
-                self.state, self.comatch_state,
-                *self._shard(x_u8, targets, u_canon), weights, use_queue,
-                self._next_rng())
-            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+        total = int(self.config.TRAIN.EVAL_STEP)
+        k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
+        batch_idx = 0
+        while batch_idx < total:
+            k_here = min(k, total - batch_idx)
+            xs, ts, us, gates = [], [], [], []
+            for j in range(k_here):
+                x_u8, targets = next(labeled_iter)
+                u_canon, _ = next(unlabeled_iter)
+                xs.append(x_u8)
+                ts.append(targets)
+                us.append(u_canon)
+                # smoothing gate (comatch.py:179)
+                gates.append((epoch > 0) or (batch_idx + j > self.queue_batch))
+            if k_here == k:
+                self.state, self.comatch_state, losses = self._train_multi(
+                    self.state, self.comatch_state,
+                    *self._shard_stacked(np.stack(xs), np.stack(ts),
+                                         np.stack(us)),
+                    weights, jnp.asarray(gates), self._next_rng())
+                for loss in np.asarray(losses):
+                    summary_loss.update(float(loss),
+                                        int(self.config.DATA.BATCH_SIZE))
+            else:
+                for j in range(k_here):
+                    self.state, self.comatch_state, loss, _ = self._train_step(
+                        self.state, self.comatch_state,
+                        *self._shard(xs[j], ts[j], us[j]), weights,
+                        jnp.asarray(gates[j], bool), self._next_rng())
+                    summary_loss.update(float(loss),
+                                        int(self.config.DATA.BATCH_SIZE))
+            batch_idx += k_here
         return summary_loss
