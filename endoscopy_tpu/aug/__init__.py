@@ -7,7 +7,7 @@ from endoscopy_tpu.aug.views import (
     labeled_train_view,
     normalize,
 )
-from endoscopy_tpu.aug.randaugment import randaugment_mc
+from endoscopy_tpu.aug.randaugment import randaugment_mc, randaugment_pc
 
 __all__ = [
     "IMAGENET_MEAN",
@@ -18,4 +18,5 @@ __all__ = [
     "labeled_train_view",
     "normalize",
     "randaugment_mc",
+    "randaugment_pc",
 ]

@@ -150,3 +150,119 @@ def randaugment_mc(img: jnp.ndarray, key: jax.Array, n: int = 2, m: int = 10
         img = randaugment_slot(img, k_slot, m)
     key, k_cut = jax.random.split(key)
     return ops.cutout_abs(img, jnp.float32(16.0), k_cut)
+
+
+# -- RandAugmentPC (randaugment.py:189-204) -----------------------------------
+#
+# Same slot machinery over the 16-op `my_augment_pool` (randaugment.py:166-185)
+# with the PC distribution: fixed magnitude v = m, per-op apply probability
+# drawn from U(0.2, 0.8) (``random() + prob >= 1`` applies with probability
+# prob), sign flips on rotate/shear/translate/SolarizeAdd, and the final
+# CutoutAbs(16).
+
+_PC_ROTATE = 8
+_PC_SHEAR_X = 10
+_PC_SHEAR_Y = 11
+_PC_TRANSLATE_X = 14
+_PC_TRANSLATE_Y = 15
+
+# op index -> color branch (geometry ops route to identity=11)
+_PC_COLOR_LOOKUP = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 11, 8, 11, 11, 9, 10,
+                                11, 11])
+_PC_IS_GEOMETRY = jnp.asarray([False, False, False, False, False, False,
+                               False, False, True, False, True, True, False,
+                               False, True, True])
+
+
+def _pc_geometry_shifts(op, v, sign, h: int, w: int):
+    """Shift vectors for the PC pool's geometry ops; translate max_v is 0.45
+    (randaugment.py:184-185) vs FixMatch's 0.3."""
+    yc = jax.lax.broadcasted_iota(jnp.float32, (h,), 0) + 0.5
+    xc = jax.lax.broadcasted_iota(jnp.float32, (w,), 0) + 0.5
+
+    theta = jnp.deg2rad(sign * _int_param(v, 30.0))
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    rot_rows = jnp.floor(a * (yc - h / 2.0) + 0.5).astype(jnp.int32)
+    rot_cols = jnp.floor(b * (xc - w / 2.0) + 0.5).astype(jnp.int32)
+
+    shear = sign * _float_param(v, 0.3)
+    shear_rows = jnp.floor(shear * yc + 0.5).astype(jnp.int32)
+    shear_cols = jnp.floor(shear * xc + 0.5).astype(jnp.int32)
+
+    trans_x = jnp.trunc(sign * _float_param(v, 0.45) * w).astype(jnp.int32)
+    trans_y = jnp.trunc(sign * _float_param(v, 0.45) * h).astype(jnp.int32)
+
+    zeros_h = jnp.zeros((h,), jnp.int32)
+    zeros_w = jnp.zeros((w,), jnp.int32)
+    s1 = jnp.select(
+        [op == _PC_ROTATE, op == _PC_SHEAR_X, op == _PC_TRANSLATE_X],
+        [rot_rows, shear_rows, jnp.full((h,), trans_x)], zeros_h)
+    s2 = jnp.select(
+        [op == _PC_ROTATE, op == _PC_SHEAR_Y, op == _PC_TRANSLATE_Y],
+        [rot_cols, shear_cols, jnp.full((w,), trans_y)], zeros_w)
+    s3 = jnp.where(op == _PC_ROTATE, rot_rows, zeros_h)
+    return s1, s2, s3
+
+
+def _pc_color_branches(h: int, w: int):
+    """The 12 non-geometric PC branches; each fn(img, v, sign, key)
+    (magnitudes per randaugment.py:166-185)."""
+    def cutout(img, v, sign, key):
+        size = jnp.trunc(_float_param(v, 0.2) * min(h, w))
+        return ops.cutout_abs(img, size, key)
+
+    return [
+        lambda img, v, sign, key: ops.autocontrast(img),
+        lambda img, v, sign, key: ops.brightness(img, _float_param(v, 1.8, 0.1)),
+        lambda img, v, sign, key: ops.color(img, _float_param(v, 1.8, 0.1)),
+        lambda img, v, sign, key: ops.contrast(img, _float_param(v, 1.8, 0.1)),
+        cutout,
+        lambda img, v, sign, key: ops.equalize(img),
+        lambda img, v, sign, key: ops.invert(img),
+        lambda img, v, sign, key: ops.posterize(img, _int_param(v, 4.0, 4.0)),
+        lambda img, v, sign, key: ops.sharpness(img, _float_param(v, 1.8, 0.1)),
+        lambda img, v, sign, key: ops.solarize(img, 256.0 - _int_param(v, 256.0)),
+        lambda img, v, sign, key: ops.solarize_add(
+            img, sign * _int_param(v, 110.0), 128.0),
+        lambda img, v, sign, key: img,  # identity (geometry ops)
+    ]
+
+
+def sample_pc_slot_params(key: jax.Array, m: int = 10):
+    """One PC slot's (op, v, sign, apply): v is FIXED at m; apply probability
+    itself is random U(0.2, 0.8) (randaugment.py:198-201)."""
+    k_op, k_prob, k_apply, k_sign = jax.random.split(key, 4)
+    op = jax.random.randint(k_op, (), 0, 16)
+    v = jnp.float32(m)
+    sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
+    prob = jax.random.uniform(k_prob, minval=0.2, maxval=0.8)
+    apply = jax.random.uniform(k_apply) < prob
+    return op, v, sign, apply
+
+
+def apply_pc_slot(img: jnp.ndarray, op, v, sign, apply, key) -> jnp.ndarray:
+    """Apply one sampled PC op slot to a single image (float HWC, [0,255])."""
+    h, w = img.shape[0], img.shape[1]
+    s1, s2, s3 = _pc_geometry_shifts(op, v, sign, h, w)
+    geo = ops._shift_rows(img, s1)
+    geo = ops._shift_cols(geo, s2)
+    geo = ops._shift_rows(geo, s3)
+
+    color_idx = _PC_COLOR_LOOKUP[op]
+    color_out = jax.lax.switch(color_idx, _pc_color_branches(h, w),
+                               img, v, sign, key)
+
+    out = jnp.where(_PC_IS_GEOMETRY[op], geo, color_out.astype(img.dtype))
+    return jnp.where(apply, out, img)
+
+
+def randaugment_pc(img: jnp.ndarray, key: jax.Array, n: int = 2, m: int = 10
+                   ) -> jnp.ndarray:
+    """Single-image RandAugmentPC (randaugment.py:189-204); img float HWC in
+    [0,255]."""
+    for _ in range(n):
+        key, k_slot, k_branch = jax.random.split(key, 3)
+        img = apply_pc_slot(img, *sample_pc_slot_params(k_slot, m), k_branch)
+    key, k_cut = jax.random.split(key)
+    return ops.cutout_abs(img, jnp.float32(16.0), k_cut)

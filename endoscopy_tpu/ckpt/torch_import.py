@@ -2,21 +2,31 @@
 
 The reference's transfer pipeline loads timm/torchvision-format ``.pth``
 checkpoints (ImageNet → 2-class abnormal → N-class pathology head swap,
-build.py:113-131, 157-165, 180-194). This module maps torchvision-style
-ResNet state_dict keys to the flax ResNet in models/resnet.py and applies the
-same surgery: backbone weights are imported, the classification head is left
-at its fresh initialization when class counts differ.
+build.py:113-131, 157-165, 180-194). This module maps torch state_dict keys
+onto the flax model trees for every backbone family the reference transfers
+into — ResNet/SE-ResNet (build.py:152-170, 180-194), DenseNet
+(build.py:180-194 timm fallback), Swin (build.py:44-67), and the Conformer
+2-stage surgery (build.py:92-151) — and applies the same surgery: trunk
+weights are imported; classifier heads are left at fresh initialization
+(the reference rebuilds them after every load).
 
-Conventions:
+Leaf conventions:
 - torch Conv2d weight OIHW → flax kernel HWIO (transpose 2,3,1,0)
 - torch Linear weight (out,in) → flax kernel (in,out)
-- torch BatchNorm weight/bias/running_mean/running_var → flax
-  scale/bias + batch_stats mean/var
+- torch BatchNorm/LayerNorm weight/bias → flax scale/bias;
+  running_mean/running_var → batch_stats mean/var
+- bare parameters (cls_token, relative_position_bias_table) copy as-is
+
+Because the flax modules here deliberately reuse the reference's attribute
+names, most keys map by identity; per-architecture regex renames cover the
+few structural differences (Sequential indices, timm nesting).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+import dataclasses
+import re
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -28,6 +38,209 @@ def _t_conv(w) -> np.ndarray:
 def _t_dense(w) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(np.asarray(w), (1, 0)))
 
+
+# -- per-architecture key translation ----------------------------------------
+#
+# Each entry: (renames, skips). Renames are (regex, replacement) applied in
+# order to the torch key prefix (module path without the leaf). Skips are
+# regexes for keys the import intentionally ignores: classifier heads (the
+# build.py surgery always re-initializes them) and registered buffers that
+# the flax models compute at trace time (relative_position_index, attn_mask).
+
+_ARCHES: Dict[str, Tuple[List[Tuple[str, str]], List[str]]] = {
+    # torchvision/timm ResNet + the reference's in-repo SEResNet (se.py:8-118:
+    # SE convs conv_down/conv_up live directly on the bottleneck; timm SENets
+    # use se.fc1-style submodules).
+    "resnet": (
+        [
+            (r"^layer(\d+)\.(\d+)\.downsample\.0", r"layer\1_\2.downsample_conv"),
+            (r"^layer(\d+)\.(\d+)\.downsample\.1", r"layer\1_\2.downsample_bn"),
+            (r"^layer(\d+)\.(\d+)\.se\.fc_down", r"layer\1_\2.se.fc_down"),
+            (r"^layer(\d+)\.(\d+)\.se\.fc_up", r"layer\1_\2.se.fc_up"),
+            (r"^layer(\d+)\.(\d+)\.selayer\.conv_down", r"layer\1_\2.se.fc_down"),
+            (r"^layer(\d+)\.(\d+)\.selayer\.conv_up", r"layer\1_\2.se.fc_up"),
+            (r"^layer(\d+)\.(\d+)\.conv_down", r"layer\1_\2.se.fc_down"),
+            (r"^layer(\d+)\.(\d+)\.conv_up", r"layer\1_\2.se.fc_up"),
+            (r"^layer(\d+)\.(\d+)\.", r"layer\1_\2."),
+        ],
+        [r"^fc\b", r"^head\b", r"^classifier\b"],
+    ),
+    # torchvision/timm DenseNet (features.denseblockN.denselayerM...)
+    "densenet": (
+        [
+            (r"^features\.denseblock(\d+)\.denselayer(\d+)\.", r"block\1_layer\2."),
+            (r"^features\.transition(\d+)\.", r"transition\1."),
+            (r"^features\.norm5", r"norm_final"),
+            (r"^features\.", r""),
+        ],
+        [r"^classifier\b"],
+    ),
+    # timm 0.5.4 / MSR Swin (layers.N.blocks.M..., downsample, patch_embed)
+    "swin": (
+        [
+            (r"^patch_embed\.proj", r"patch_embed"),
+            (r"^patch_embed\.norm", r"patch_norm"),
+            (r"^layers\.(\d+)\.blocks\.(\d+)\.", r"stage\1_block\2."),
+            (r"^layers\.(\d+)\.downsample\.", r"merge\1."),
+            (r"\.mlp\.fc1", r".mlp_fc1"),
+            (r"\.mlp\.fc2", r".mlp_fc2"),
+        ],
+        # head skips include the reference's customized fc1/fc2/bn head
+        # (swin_transformer.py:541-543)
+        [r"^head\b", r"^fc1\b", r"^fc2\b", r"^bn\b",
+         r"relative_position_index$", r"attn_mask$",
+         r"^absolute_pos_embed$"],
+    ),
+    # reference models/conformer.py — flax module names match 1:1
+    "conformer": (
+        [],
+        [r"^conv_cls_head\b", r"^trans_cls_head\b", r"^pooling\b"],
+    ),
+}
+
+# torch ModelwEmb checkpoints alias every backbone param twice:
+# 'model.<key>' (the timm model) and 'backbone.<idx>.<key>' (the
+# nn.Sequential(children) view, custom_model.py:200). The numeric-Sequential
+# view is dropped; 'model.'/'module.' wrappers are stripped.
+_ALIAS_RE = re.compile(r"^backbone\.\d+\.")
+
+
+def arch_for_model(name: str) -> str:
+    """MODEL.NAME → import architecture family."""
+    name = str(name)
+    if name.startswith(("resnet", "seresnext")):
+        return "resnet"
+    if name.startswith("densenet"):
+        return "densenet"
+    if name == "swin_mlp" or name.startswith("swin_mlp"):
+        raise NotImplementedError(
+            "torch weight import for swin_mlp is not implemented; train from "
+            "scratch or use an orbax checkpoint")
+    if name.startswith("swin"):
+        return "swin"
+    if name == "conformer":
+        return "conformer"
+    raise NotImplementedError(
+        f"no torch import key map for '{name}'; supported families: "
+        f"{sorted(_ARCHES)}")
+
+
+@dataclasses.dataclass
+class ImportReport:
+    imported: int = 0
+    skipped: List[str] = dataclasses.field(default_factory=list)
+    shape_mismatch: List[str] = dataclasses.field(default_factory=list)
+    unmapped: List[str] = dataclasses.field(default_factory=list)
+
+    def summary(self) -> str:
+        return (f"imported {self.imported} tensors, "
+                f"skipped {len(self.skipped)} (heads/buffers/aliases), "
+                f"{len(self.shape_mismatch)} shape mismatches, "
+                f"{len(self.unmapped)} unmapped")
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> str:
+    node = tree
+    for p in path[:-1]:
+        if not isinstance(node, dict) or p not in node:
+            return "missing"
+        node = node[p]
+    if not isinstance(node, dict) or path[-1] not in node:
+        return "missing"
+    expected = node[path[-1]]
+    if tuple(expected.shape) != tuple(value.shape):
+        return "shape"
+    node[path[-1]] = value.astype(np.asarray(expected).dtype)
+    return "ok"
+
+
+def import_torch_state(
+    params: Any,
+    batch_stats: Any,
+    state_dict: Dict[str, Any],
+    arch: str,
+    backbone_scope: Optional[str] = "backbone",
+    strict: bool = False,
+) -> Tuple[Any, Any, ImportReport]:
+    """Import a torch state_dict into (params, batch_stats) for ``arch``.
+
+    ``backbone_scope`` names the flax subtree holding the trunk (None for
+    bare models like Conformer). Head keys are skipped — the build.py
+    surgery (113-131, 180-194): trunk imported, fresh N-class head. With
+    ``strict=True`` any trunk key that maps to no flax parameter raises.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if arch not in _ARCHES:
+        raise ValueError(f"unknown arch '{arch}'; known: {sorted(_ARCHES)}")
+    renames, skips = _ARCHES[arch]
+    skip_res = [re.compile(s) for s in skips]
+
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    if backbone_scope:
+        p_root = params[backbone_scope]
+        b_root = batch_stats.get(backbone_scope, {})
+    else:
+        p_root, b_root = params, batch_stats
+
+    report = ImportReport()
+    for tkey, value in state_dict.items():
+        key = tkey
+        for wrap in ("module.", "model."):
+            if key.startswith(wrap):
+                key = key[len(wrap):]
+        if _ALIAS_RE.match(key) or key.endswith("num_batches_tracked"):
+            report.skipped.append(tkey)
+            continue
+        if any(sr.search(key) for sr in skip_res):
+            report.skipped.append(tkey)
+            continue
+
+        value = np.asarray(value)
+        prefix, _, leaf = key.rpartition(".")
+        if not prefix:  # bare top-level parameter (cls_token)
+            prefix, leaf = leaf, ""
+        for pat, repl in renames:
+            prefix = re.sub(pat, repl, prefix)
+
+        path = tuple(p for p in prefix.split(".") if p)
+        if leaf == "weight":
+            if value.ndim == 4:
+                status = _set(p_root, path + ("kernel",), _t_conv(value))
+            elif value.ndim == 2:
+                status = _set(p_root, path + ("kernel",), _t_dense(value))
+            else:  # BN/LN affine
+                status = _set(p_root, path + ("scale",), value)
+        elif leaf == "bias":
+            status = _set(p_root, path + ("bias",), value)
+        elif leaf == "running_mean":
+            status = _set(b_root, path + ("mean",), value)
+        elif leaf == "running_var":
+            status = _set(b_root, path + ("var",), value)
+        else:
+            # bare parameter: try the leaf as the param name itself
+            full = path + ((leaf,) if leaf else ())
+            status = _set(p_root, full, value)
+        if status == "ok":
+            report.imported += 1
+        elif status == "shape":
+            report.shape_mismatch.append(tkey)
+        else:
+            report.unmapped.append(tkey)
+
+    if strict and report.unmapped:
+        raise KeyError(
+            f"torch import ({arch}): {len(report.unmapped)} keys map to no "
+            f"flax parameter, e.g. {report.unmapped[:8]}")
+
+    params = jax.tree.map(jnp.asarray, params)
+    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+    return params, batch_stats, report
+
+
+# -- backward-compatible ResNet-specific API ----------------------------------
 
 def resnet_key_map(stage_sizes=(3, 4, 6, 3)) -> Dict[str, Tuple[str, ...]]:
     """torch key prefix → (flax module path...) for torchvision/timm ResNet."""
@@ -45,28 +258,13 @@ def resnet_key_map(stage_sizes=(3, 4, 6, 3)) -> Dict[str, Tuple[str, ...]]:
                 m[f"{torch_pfx}.{bn}"] = (flax_name, bn)
             m[f"{torch_pfx}.downsample.0"] = (flax_name, "downsample_conv")
             m[f"{torch_pfx}.downsample.1"] = (flax_name, "downsample_bn")
-            # SE module (our se.py naming; reference se.py:121-141 uses
-            # conv_down/conv_up inside 'selayer')
+            # SE module (our se naming; reference se.py:8-27 puts conv_down/
+            # conv_up directly on the bottleneck)
             m[f"{torch_pfx}.se.fc_down"] = (flax_name, "se", "fc_down")
             m[f"{torch_pfx}.se.fc_up"] = (flax_name, "se", "fc_up")
-            m[f"{torch_pfx}.selayer.conv_down"] = (flax_name, "se", "fc_down")
-            m[f"{torch_pfx}.selayer.conv_up"] = (flax_name, "se", "fc_up")
+            m[f"{torch_pfx}.conv_down"] = (flax_name, "se", "fc_down")
+            m[f"{torch_pfx}.conv_up"] = (flax_name, "se", "fc_up")
     return m
-
-
-def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> bool:
-    node = tree
-    for p in path[:-1]:
-        if p not in node:
-            return False
-        node = node[p]
-    if path[-1] not in node:
-        return False
-    expected = node[path[-1]]
-    if tuple(expected.shape) != tuple(value.shape):
-        return False
-    node[path[-1]] = value.astype(np.asarray(expected).dtype)
-    return True
 
 
 def import_resnet_torch_state(
@@ -76,56 +274,10 @@ def import_resnet_torch_state(
     backbone_scope: str = "backbone",
     stage_sizes=(3, 4, 6, 3),
 ) -> Tuple[Any, Any, int]:
-    """Import a torch ResNet state_dict into (params, batch_stats).
-
-    Returns (new_params, new_batch_stats, n_imported). Head keys ('fc.*') are
-    skipped when their shapes disagree — the build.py:180-194 surgery: load
-    the 2-class abnormal trunk, keep the fresh N-class head.
-    """
-    import jax
-
-    params = jax.tree.map(np.asarray, params)
-    batch_stats = jax.tree.map(np.asarray, batch_stats)
-    p_root = params[backbone_scope] if backbone_scope else params
-    b_root = (batch_stats.get(backbone_scope, {}) if backbone_scope
-              else batch_stats)
-    key_map = resnet_key_map(stage_sizes)
-    imported = 0
-
-    for tkey, value in state_dict.items():
-        value = np.asarray(value)
-        parts = tkey.rsplit(".", 1)
-        if len(parts) != 2:
-            continue
-        prefix, leaf = parts
-        # strip common wrappers ('model.'/'module.' — ModelwEmb/DataParallel)
-        for wrap in ("module.", "model."):
-            if prefix.startswith(wrap):
-                prefix = prefix[len(wrap):]
-        if prefix not in key_map:
-            continue
-        path = key_map[prefix]
-        if leaf == "weight":
-            if value.ndim == 4:
-                ok = _set(p_root, path + ("kernel",), _t_conv(value))
-            elif value.ndim == 1:  # BN scale
-                ok = _set(p_root, path + ("scale",), value)
-            else:
-                ok = _set(p_root, path + ("kernel",), _t_dense(value))
-        elif leaf == "bias":
-            ok = _set(p_root, path + ("bias",), value)
-        elif leaf == "running_mean":
-            ok = _set(b_root, path + ("mean",), value)
-        elif leaf == "running_var":
-            ok = _set(b_root, path + ("var",), value)
-        else:  # num_batches_tracked etc.
-            continue
-        imported += int(ok)
-
-    import jax.numpy as jnp
-    params = jax.tree.map(jnp.asarray, params)
-    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
-    return params, batch_stats, imported
+    """ResNet-only wrapper over import_torch_state (kept for API compat)."""
+    params, batch_stats, report = import_torch_state(
+        params, batch_stats, state_dict, "resnet", backbone_scope)
+    return params, batch_stats, report.imported
 
 
 def export_resnet_torch_state(

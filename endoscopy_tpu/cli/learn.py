@@ -23,6 +23,7 @@ from endoscopy_tpu.config.loader import get_config, is_none
 from endoscopy_tpu.data.manifest import (
     build_ssl_manifests,
     build_supervised_manifests,
+    shard_for_host,
 )
 from endoscopy_tpu.data.pipeline import CanonicalLoader, EvalLoader, canonical_size
 from endoscopy_tpu.models import build_model
@@ -37,10 +38,23 @@ def _make_train_loader(manifest, bs, size, seed, workers, config):
 
 
 def build_data(config, type_semi: str = "FixMatch"):
-    """get_data equivalent (dataset.py:314-444) returning loaders."""
+    """get_data equivalent (dataset.py:314-444) returning loaders.
+
+    Multi-host: DATA.BATCH_SIZE is the GLOBAL batch (the reference's
+    single-device semantics, dataset.py:352-357); each host loads
+    batch/process_count rows from its shard_for_host manifest slice, and
+    BaseTrainer._shard assembles the global array over DCN.
+    """
+    import jax
+
     df_anno = pd.read_csv(config.DATA.ANNO)
     size = canonical_size(config)
-    bs = int(config.DATA.BATCH_SIZE)
+    pc = jax.process_count()
+    bs_global = int(config.DATA.BATCH_SIZE)
+    if bs_global % max(pc, 1):
+        raise ValueError(
+            f"DATA.BATCH_SIZE {bs_global} not divisible by process_count {pc}")
+    bs = bs_global // max(pc, 1)
     workers = int(config.DATA.NUM_WORKERS)
 
     if config.TRAIN.IS_SSL:
@@ -49,15 +63,21 @@ def build_data(config, type_semi: str = "FixMatch"):
             df_unanno = pd.read_csv(config.DATA.UNANNO)
         labeled, unlabeled, valid, cls_num_list = build_ssl_manifests(
             config, df_anno, df_unanno)
-        lab_dl = _make_train_loader(labeled, bs, size, 0, workers, config)
-        unl_dl = _make_train_loader(unlabeled, bs * int(config.DATA.MU), size,
+        # multi-host DP: each host reads its strided manifest slice; the
+        # jitted step sees the concatenated global batch (SURVEY.md §2.3).
+        # cls_num_list / class weights stay global (computed pre-shard).
+        lab_dl = _make_train_loader(shard_for_host(labeled), bs, size, 0,
+                                    workers, config)
+        unl_dl = _make_train_loader(shard_for_host(unlabeled),
+                                    bs * int(config.DATA.MU), size,
                                     1, workers, config)
         valid_dl = EvalLoader(valid, bs, size, num_workers=workers)
         return (lab_dl, unl_dl), valid_dl, cls_num_list, labeled.targets
 
     train, valid, cls_num_list = build_supervised_manifests(
         config, df_anno, is_full_sup=True)
-    train_dl = _make_train_loader(train, bs, size, 0, workers, config)
+    train_dl = _make_train_loader(shard_for_host(train), bs, size, 0,
+                                  workers, config)
     valid_dl = EvalLoader(valid, bs, size, num_workers=workers)
     return train_dl, valid_dl, cls_num_list, train.targets
 
@@ -84,7 +104,11 @@ def make_trainer(config, model, trainer_override=None):
     return SupLearning(model=model, opt_func=config.TRAIN.OPT_NAME)
 
 
-def run_config(config, model=None, trainer_override=None):
+def run_config(config, model=None, trainer_override=None, carry_state=None):
+    """One training stage. ``carry_state=(params, batch_stats)`` threads the
+    previous progressive-resizing stage's weights into this stage
+    (learn.py:40-55: the model is built once; stage 2 trains the SAME
+    weights at the new image size)."""
     type_semi = config.MODEL.TYPE_SEMI
     train_dl, valid_dl, cls_num_list, labeled_targets = build_data(
         config, type_semi)
@@ -97,6 +121,12 @@ def run_config(config, model=None, trainer_override=None):
     else:
         trainer.get_config(config, cls_num_list=cls_num_list,
                            labeled_targets=labeled_targets)
+    from endoscopy_tpu.ckpt.transfer import apply_pretrain, carry_stage_weights
+    if carry_state is not None:
+        carry_stage_weights(trainer, *carry_state)
+    else:
+        # abnormal→pathology / ImageNet transfer init (build.py:180-194)
+        apply_pretrain(trainer, config)
     if not is_none(config.MODEL.PRE_TRAIN_RESUME):
         trainer.load_checkpoint(config.MODEL.PRE_TRAIN_RESUME, is_train=True)
     trainer.fit()
@@ -117,10 +147,14 @@ def main(argv=None) -> None:
         configs.append(get_config(args.config_2))
 
     model = None
+    carry_state = None
     for idx, config in enumerate(configs):
         print(f"=== stage {idx} | IMG_SIZE={config.DATA.IMG_SIZE} ===")
         trainer, model = run_config(config, model=model,
-                                    trainer_override=args.trainer)
+                                    trainer_override=args.trainer,
+                                    carry_state=carry_state)
+        # progressive resizing carries the trained weights (learn.py:53-55)
+        carry_state = (trainer.state.params, trainer.state.batch_stats)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -144,7 +144,7 @@ class FCUDown(nn.Module):
         b, h, w, c = y.shape
         y = y.reshape(b, h * w, c)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln")(y)
-        y = nn.gelu(y.astype(self.dtype))
+        y = nn.gelu(y.astype(self.dtype), approximate=False)
         return jnp.concatenate([x_t[:, :1], y], axis=1)
 
 
@@ -253,17 +253,20 @@ class Conformer(nn.Module):
         xt = TransBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
                         self.qkv_bias, dtype=self.dtype, name="trans_1")(xt)
 
+        # stage boundaries (conformer.py:341-389): conv_trans_2..d/3 continue
+        # stage 1; d/3+1..2d/3 are stage 2 (first block downsamples);
+        # 2d/3+1..d are stage 3; the final block adds the fusion downsample.
         third = self.depth // 3
         stage_2, stage_3 = stage_1 * 2, stage_1 * 4
         for i in range(2, self.depth + 1):
-            if i <= third + 1:  # stage 1 continuation
+            if i <= third:  # stage 1 continuation
                 planes, strides, res_conv, dw = stage_1, 1, False, trans_dw_stride
-            elif i <= 2 * third + 1:  # stage 2
-                first = i == third + 2
+            elif i <= 2 * third:  # stage 2
+                first = i == third + 1
                 planes, strides, res_conv = stage_2, (2 if first else 1), first
                 dw = trans_dw_stride // 2
             else:  # stage 3
-                first = i == 2 * third + 2
+                first = i == 2 * third + 1
                 planes, strides, res_conv = stage_3, (2 if first else 1), first
                 dw = trans_dw_stride // 4
             xc, xt = ConvTransBlock(

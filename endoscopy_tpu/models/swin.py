@@ -52,13 +52,16 @@ def relative_position_index(ws: int) -> np.ndarray:
 def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """(nW, ws², ws²) additive mask for shifted windows
     (swin_transformer.py:210-230)."""
-    img_mask = np.zeros((1, h, w, 1), np.float32)
+    img_mask = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
         for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-            img_mask[:, hs, wsl, :] = cnt
+            img_mask[hs, wsl] = cnt
             cnt += 1
-    mw = np.asarray(window_partition(jnp.asarray(img_mask), ws))[:, :, 0]
+    # pure-numpy window partition: this runs at trace time and must stay a
+    # compile-time constant even under eval_shape/jit tracing
+    mw = img_mask.reshape(h // ws, ws, w // ws, ws)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
     attn_mask = mw[:, None, :] - mw[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
@@ -139,7 +142,7 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y.astype(self.dtype))
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 

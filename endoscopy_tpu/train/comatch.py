@@ -44,6 +44,11 @@ from endoscopy_tpu.utils.meters import AverageMeter
 class CoMatch(BaseTrainer):
     trainer_name = "CoMatch"
 
+    def _images_per_step(self) -> int:
+        # 4-way concat [x, u_w, u_s0, u_s1] (comatch.py:144-154)
+        return int(self.config.DATA.BATCH_SIZE) * (
+            1 + 3 * int(self.config.DATA.MU))
+
     # fixed hyperparameters (comatch.py:29-39)
     queue_batch = 5
     alpha = 0.9

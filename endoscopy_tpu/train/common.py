@@ -138,6 +138,13 @@ class BaseTrainer:
         return sub
 
     def _shard(self, *arrays):
+        """Host batch → global sharded array. Single-process: device_put with
+        the 'data' sharding. Multi-host (DCN data parallel): each process
+        holds batch/process_count rows; jax assembles the global array
+        (SURVEY.md §2.3 input-pipeline sharding)."""
+        if jax.process_count() > 1:
+            return tuple(jax.make_array_from_process_local_data(
+                self._batch_sharding, np.asarray(a)) for a in arrays)
         return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
 
     def _shard_stacked(self, *arrays):
@@ -146,6 +153,9 @@ class BaseTrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            return tuple(jax.make_array_from_process_local_data(
+                sh, np.asarray(a)) for a in arrays)
         return tuple(jax.device_put(a, sh) for a in arrays)
 
     # -- evaluation ---------------------------------------------------------
@@ -270,15 +280,27 @@ class BaseTrainer:
                                         run_name=self.trainer_name.lower())
         return self._logger
 
+    def _images_per_step(self) -> int:
+        """Images the jitted step consumes; SSL = labeled + 2 unlabeled views
+        (fixmatch.py:107); CoMatch overrides with its 3 views."""
+        bs = int(self.config.DATA.BATCH_SIZE)
+        if self.config.TRAIN.IS_SSL:
+            return bs * (1 + 2 * int(self.config.DATA.MU))
+        return bs
+
     def fit(self) -> None:
         import time as _time
 
         from endoscopy_tpu.utils.logging import Throughput
 
         logger = self._metric_logger()
-        images_per_step = int(self.config.DATA.BATCH_SIZE) * (
-            1 + 2 * int(self.config.DATA.MU)
-            if self.config.TRAIN.IS_SSL else 1)
+        images_per_step = self._images_per_step()
+        if self.epoch_start == int(self.config.TRAIN.EPOCHS):
+            # resume at the final epoch: evaluate only (fixmatch.py:238-241)
+            valid_loss, valid_metric = self.evaluate_one()
+            print(f"\tValid Loss: {valid_loss.avg:.3f}")
+            print(f"\tMetric: {valid_metric}")
+            return
         for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS) + 1):
             self.epoch = epoch
             best = (f"{float(self.best_valid_perf):.3f}"

@@ -107,16 +107,24 @@ class EZBM(BaseTrainer):
         self._stage1_step = stage1_step
 
     def _build_triplet_batch(self, batch_u8, targets):
+        # random-access sample(indices) protocol — any loader type works
         loader = self.train_dl
+        if not hasattr(loader, "sample"):
+            raise TypeError(
+                f"EZBM stage 1 requires a loader with sample(indices); "
+                f"{type(loader).__name__} has none")
         t = np.asarray(loader.manifest.targets)
-        rng = loader.rng
+        rng = getattr(loader, "rng", None)
+        if rng is None:
+            rng = self._triplet_rng = getattr(
+                self, "_triplet_rng", np.random.default_rng(0))
         pos_idx = np.empty(len(targets), np.int64)
         neg_idx = np.empty(len(targets), np.int64)
         for i, y in enumerate(targets):
             pos_idx[i] = rng.choice(np.nonzero(t == y)[0])
             neg_idx[i] = rng.choice(np.nonzero(t != y)[0])
-        return np.concatenate([batch_u8, loader._cache_arr[pos_idx],
-                               loader._cache_arr[neg_idx]], axis=0)
+        return np.concatenate([batch_u8, loader.sample(pos_idx),
+                               loader.sample(neg_idx)], axis=0)
 
     def train_one_stage_1(self, epoch: int) -> AverageMeter:
         summary_loss = AverageMeter()

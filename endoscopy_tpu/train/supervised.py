@@ -173,22 +173,30 @@ class SupLearning(BaseTrainer):
                 st, key = carry
                 key, sub = jax.random.split(key)
                 x_u8, t = inp
-                new_st, loss, _ = train_step(st, x_u8, t, weights, sub)
-                return (new_st, key), loss
+                new_st, loss, aux = train_step(st, x_u8, t, weights, sub)
+                return (new_st, key), (loss, aux)
 
-            (new_state, _), losses = jax.lax.scan(body, (state, rng),
-                                                  (x_k, targets_k))
-            return new_state, losses
+            (new_state, _), (losses, auxs) = jax.lax.scan(body, (state, rng),
+                                                          (x_k, targets_k))
+            return new_state, losses, auxs
 
         self._train_multi = jax.jit(multi_step)
 
     def _build_triplet_batch(self, batch_u8, targets):
         """Host-side triplet sampling (dataset.py:279-306 rejection sampling
-        → here: same-class positive, different-class negative drawn from the
-        loader's cached pool)."""
+        → here: same-class positive, different-class negative drawn through
+        the loader's random-access ``sample(indices)`` protocol — works for
+        cached, streaming, and native loaders alike)."""
         loader = self.train_dl
+        if not hasattr(loader, "sample"):
+            raise TypeError(
+                f"MODEL.IS_TRIPLET requires a loader with sample(indices); "
+                f"{type(loader).__name__} has none")
         t = np.asarray(loader.manifest.targets)
-        rng = loader.rng
+        rng = getattr(loader, "rng", None)
+        if rng is None:
+            rng = self._triplet_rng = getattr(
+                self, "_triplet_rng", np.random.default_rng(0))
         pos_idx = np.empty(len(targets), np.int64)
         neg_idx = np.empty(len(targets), np.int64)
         for i, y in enumerate(targets):
@@ -196,8 +204,8 @@ class SupLearning(BaseTrainer):
             diff = np.nonzero(t != y)[0]
             pos_idx[i] = rng.choice(same)
             neg_idx[i] = rng.choice(diff)
-        pos = loader._cache_arr[pos_idx]
-        neg = loader._cache_arr[neg_idx]
+        pos = loader.sample(pos_idx)
+        neg = loader.sample(neg_idx)
         return np.concatenate([batch_u8, pos, neg], axis=0)
 
     def train_one(self, epoch: int) -> AverageMeter:
@@ -223,21 +231,46 @@ class SupLearning(BaseTrainer):
                 xs.append(batch_u8)
                 ts.append(targets)
             if k_here == k:
-                self.state, losses = self._train_multi(
+                self.state, losses, aux = self._train_multi(
                     self.state, *self._shard_stacked(np.stack(xs), np.stack(ts)),
                     weights, self._next_rng())
+                if self.is_triplet:
+                    # last scanned step's distances (supervised.py:141-144)
+                    self._last_triplet_dist = tuple(np.asarray(a)[-1] for a in aux)
                 for loss in np.asarray(losses):
                     summary_loss.update(float(loss),
                                         int(self.config.DATA.BATCH_SIZE))
             else:
                 for batch_u8, targets in zip(xs, ts):
-                    self.state, loss, _ = self._train_step(
+                    self.state, loss, aux = self._train_step(
                         self.state, *self._shard(batch_u8, targets), weights,
                         self._next_rng())
+                    if self.is_triplet:
+                        self._last_triplet_dist = tuple(np.asarray(a) for a in aux)
                     summary_loss.update(float(loss),
                                         int(self.config.DATA.BATCH_SIZE))
             done += k_here
+        # triplet-distance histogram every 5 epochs (supervised.py:141-144)
+        if self.is_triplet and epoch % 5 == 0 and \
+                getattr(self, "_last_triplet_dist", None) is not None:
+            self._log_triplet_dist(epoch)
         return summary_loss
+
+    def _log_triplet_dist(self, epoch: int) -> None:
+        from endoscopy_tpu.eval.visualize import show_triplet_dist
+
+        d_ap, d_an = self._last_triplet_dist
+        log_dir = self.config.TRAIN.get("LOG_DIR")
+        save = (f"{log_dir}/triplet_dist_epoch{epoch}.png" if log_dir else None)
+        show_triplet_dist(d_ap=d_ap, d_an=d_an, save_path=save)
+        self._metric_logger().log(
+            {"triplet/d_ap_mean": float(np.mean(d_ap)),
+             "triplet/d_an_mean": float(np.mean(d_an))}, epoch=epoch)
+
+    def _images_per_step(self) -> int:
+        # triplet concatenates anchor/pos/neg (supervised.py:84-90)
+        bs = int(self.config.DATA.BATCH_SIZE)
+        return 3 * bs if self.is_triplet else bs
 
     # fit with early stop + loss∧F1 checkpoint gate (supervised.py:316-364)
     def fit(self) -> None:

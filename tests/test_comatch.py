@@ -90,6 +90,7 @@ def test_queue_gate_semantics():
     assert n != queue_size  # default: write never fires — preserved behavior
 
 
+@pytest.mark.slow
 def test_comatch_e2e(tmp_path):
     root = str(tmp_path)
     img_root, anno_csv, _, _ = make_synthetic_dataset(

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast suite with -m 'not slow'
+
 from endoscopy_tpu.models.attention import (
     CBAM,
     HaloAttention,

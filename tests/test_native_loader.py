@@ -50,3 +50,82 @@ def test_native_decode_matches_cv2(dataset):
     # decoders/resamplers differ by a few LSB
     assert np.mean(diff) < 4.0, np.mean(diff)
     loader.close()
+
+
+def test_sample_protocol_all_loaders(tmp_path):
+    """sample(indices) returns identical decoded rows for cached, streaming,
+    and native loaders — the triplet/EZBM random-access contract."""
+    from endoscopy_tpu.data.manifest import Manifest
+    from endoscopy_tpu.data.pipeline import CanonicalLoader
+    from endoscopy_tpu.data.synthetic import make_synthetic_dataset
+
+    img_root, anno_csv, _, _ = make_synthetic_dataset(
+        str(tmp_path), num_classes=3, n_train=9, n_valid=3, n_unlabeled=3,
+        img_size=40)
+    import pandas as pd
+    df = pd.read_csv(anno_csv)
+    m = Manifest.from_df(df[~df["is_valid"]], img_root)
+    idx = np.asarray([0, 3, 5])
+
+    cached = CanonicalLoader(m, 4, 32, cache=True)
+    streaming = CanonicalLoader(m, 4, 32, cache=False)
+    np.testing.assert_array_equal(cached.sample(idx), streaming.sample(idx))
+
+    try:
+        from endoscopy_tpu.data.native_loader import NativeCanonicalLoader
+        native = NativeCanonicalLoader(m, 4, 32)
+    except RuntimeError:
+        return  # toolchain/libjpeg unavailable: cv2-backed loaders suffice
+    native_rows = native.sample(idx)
+    assert native_rows.shape == (3, 32, 32, 3)
+    # native decode is libjpeg+own bilinear vs cv2: allow small pixel drift
+    diff = np.abs(native_rows.astype(np.int32)
+                  - cached.sample(idx).astype(np.int32))
+    assert diff.mean() < 8.0
+    native.close()
+
+
+def test_triplet_training_with_streaming_and_native_loader(tmp_path):
+    """MODEL.IS_TRIPLET trains through loaders without a RAM cache
+    (VERDICT weak-6: used to crash on loader internals)."""
+    import pandas as pd
+
+    from endoscopy_tpu.config.loader import default_config
+    from endoscopy_tpu.data.manifest import build_supervised_manifests
+    from endoscopy_tpu.data.pipeline import CanonicalLoader, EvalLoader
+    from endoscopy_tpu.data.synthetic import make_synthetic_dataset
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.supervised import SupLearning
+
+    img_root, anno_csv, _, _ = make_synthetic_dataset(
+        str(tmp_path), num_classes=3, n_train=12, n_valid=6, n_unlabeled=3,
+        img_size=40)
+    cfg = default_config()
+    cfg.DATA.PATH = img_root
+    cfg.DATA.IMG_SIZE = 32
+    cfg.DATA.BATCH_SIZE = 4
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.MODEL.NAME = "resnet_tiny"
+    cfg.MODEL.IS_TRIPLET = True
+    cfg.MODEL.LOW_DIM = 8
+    cfg.TRAIN.DTYPE = "float32"
+    cfg.TRAIN.EPOCHS = 1
+    cfg.TRAIN.STEPS_PER_CALL = 1
+    cfg.TRAIN.MESH_DATA = 1  # triplet concat (3B=12) not divisible by 8
+
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls_num_list = build_supervised_manifests(cfg, df)
+
+    loaders = [CanonicalLoader(train_m, 4, 32, cache=False, seed=0)]
+    try:
+        from endoscopy_tpu.data.native_loader import NativeCanonicalLoader
+        loaders.append(NativeCanonicalLoader(train_m, 4, 32, seed=0))
+    except RuntimeError:
+        pass
+    for train_dl in loaders:
+        trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+        trainer.get_dataloader(train_dl, EvalLoader(valid_m, 4, 32))
+        trainer.get_config(cfg, cls_num_list=cls_num_list,
+                           labeled_targets=train_m.targets)
+        loss = trainer.train_one(epoch=1)
+        assert np.isfinite(loss.avg)

@@ -53,3 +53,87 @@ def test_global_mean_under_jit_sharding():
     sx = shard_batch(mesh, x)
     out = jax.jit(lambda a: jnp.mean(a))(sx)
     assert float(out) == pytest.approx(x.mean())
+
+def _tiny_fixmatch_trainer(mesh_data, mesh_model, seed=5):
+    from endoscopy_tpu.config.loader import default_config
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.fixmatch import FixMatch
+
+    cfg = default_config()
+    cfg.MODEL.NAME = "resnet_tiny"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.DATA.IMG_SIZE = 32
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.DATA.MU = 2
+    cfg.TRAIN.EVAL_STEP = 1
+    cfg.TRAIN.DTYPE = "float32"
+    cfg.TRAIN.SEED = seed
+    cfg.TRAIN.MESH_DATA = mesh_data
+    cfg.TRAIN.MESH_MODEL = mesh_model
+    trainer = FixMatch(model=build_model(cfg), opt_func="SGD")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(4))
+    return trainer, cfg
+
+
+def test_dp_equivalence_8dev_vs_1dev():
+    """One FixMatch step on mesh(8,1) vs mesh(1,1) from identical state and
+    batch produces the same loss and params — the strongest cheap
+    correctness check for the DP sharding design (global-batch semantics,
+    SURVEY.md §2.3)."""
+    rng = np.random.default_rng(0)
+    size = int(32 * 1.2)
+    x_lb = rng.integers(0, 255, (8, size, size, 3)).astype(np.uint8)
+    targets = rng.integers(0, 4, 8).astype(np.int64)
+    u = rng.integers(0, 255, (16, size, size, 3)).astype(np.uint8)
+    weights = jnp.ones(4, jnp.float32)
+
+    results = []
+    for mesh_data in (8, 1):
+        trainer, _ = _tiny_fixmatch_trainer(mesh_data, 1, seed=5)
+        key = jax.random.key(123)
+        state, loss, _ = trainer._train_step(
+            trainer.state, *trainer._shard(x_lb, targets, u), weights, key)
+        results.append((float(loss), jax.tree.leaves(state.params)))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    # SGD updates are linear in the all-reduced grads, so only float
+    # reduction-order noise remains (Adam's rsqrt(v) would amplify it)
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_shard_for_host_called_from_build_data(tmp_path, monkeypatch):
+    """Simulated 2-process run: build_data loads only this host's manifest
+    slice at the per-host batch size."""
+    import pandas as pd
+
+    from endoscopy_tpu.cli import learn as learn_cli
+    from endoscopy_tpu.data import manifest as manifest_mod
+    from endoscopy_tpu.data.synthetic import make_synthetic_dataset
+    from endoscopy_tpu.config.loader import default_config
+
+    img_root, anno_csv, _, _ = make_synthetic_dataset(
+        str(tmp_path), num_classes=4, n_train=16, n_valid=8, n_unlabeled=8,
+        img_size=40)
+    cfg = default_config()
+    cfg.DATA.PATH = img_root
+    cfg.DATA.ANNO = anno_csv
+    cfg.DATA.IMG_SIZE = 32
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.DATA.NUM_WORKERS = 0
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.TRAIN.IS_SSL = False
+
+    full_dl, _, _, _ = learn_cli.build_data(cfg)
+    full_len = len(full_dl.manifest) if hasattr(full_dl, "manifest") else None
+
+    monkeypatch.setattr(manifest_mod.jax if hasattr(manifest_mod, "jax")
+                        else jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    dl, _, cls_num_list, _ = learn_cli.build_data(cfg)
+    # per-host loader holds half the rows and half the global batch
+    assert dl.batch_size == 4
+    assert sum(cls_num_list) == 16  # class stats stay global

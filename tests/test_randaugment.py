@@ -119,3 +119,54 @@ def test_mixup_cutmix_semantics(rng):
     src_b = np.asarray(x)[::-1]
     match = (cx == src_a) | (cx == src_b)
     assert match.all()
+
+
+def test_randaugment_pc_statistics(img):
+    """RandAugmentPC (randaugment.py:189-204): outputs valid, final
+    CutoutAbs(16) always applied, different keys vary."""
+    from endoscopy_tpu.aug.randaugment import randaugment_pc
+
+    keys = jax.random.split(jax.random.key(2), 32)
+    outs = np.asarray(jax.vmap(lambda k: randaugment_pc(img, k, n=2, m=7))(keys))
+    assert outs.min() >= 0.0 and outs.max() <= 255.0
+    frac_with_gray = np.mean([(o == 127.0).all(-1).any() for o in outs])
+    assert frac_with_gray > 0.8
+    assert len({outs[i].tobytes() for i in range(8)}) > 4
+
+
+def test_randaugment_pc_apply_probability():
+    """PC slots apply with probability prob ~ U(0.2, 0.8): mean apply rate
+    ~0.5 and magnitude is FIXED at m (randaugment.py:198-201)."""
+    from endoscopy_tpu.aug.randaugment import sample_pc_slot_params
+
+    keys = jax.random.split(jax.random.key(3), 2000)
+    ops_, vs, signs, applies = jax.vmap(
+        lambda k: sample_pc_slot_params(k, m=9))(keys)
+    assert float(np.mean(np.asarray(applies))) == pytest.approx(0.5, abs=0.05)
+    np.testing.assert_array_equal(np.asarray(vs), 9.0)
+    assert np.asarray(ops_).min() >= 0 and np.asarray(ops_).max() <= 15
+    # all 16 PC ops get drawn
+    assert len(set(np.asarray(ops_).tolist())) == 16
+
+
+def test_randaugment_pc_ops_match_pil(img):
+    """Each deterministic PC color branch matches its PIL formula on the
+    shared ops kernels (invert / solarize-add / cutout sizing)."""
+    from endoscopy_tpu.aug import ops as aops
+    from endoscopy_tpu.aug.randaugment import (
+        _PC_COLOR_LOOKUP, _PC_IS_GEOMETRY, apply_pc_slot)
+
+    x = np.asarray(img)
+    # Invert (op 6): 255 - x
+    out = apply_pc_slot(img, jnp.int32(6), jnp.float32(5), jnp.float32(1.0),
+                        jnp.bool_(True), jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), 255.0 - x)
+    # SolarizeAdd (op 13), sign +: clip(x+int(9*110/10)) then solarize at 128
+    v = int(9 * 110 / 10)
+    expect = np.clip(x + v, 0, 255)
+    expect = np.where(expect >= 128, 255.0 - expect, expect)
+    out = apply_pc_slot(img, jnp.int32(13), jnp.float32(9), jnp.float32(1.0),
+                        jnp.bool_(True), jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), expect)
+    # lookup tables consistent
+    assert len(_PC_COLOR_LOOKUP) == len(_PC_IS_GEOMETRY) == 16

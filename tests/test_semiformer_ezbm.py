@@ -4,6 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast suite with -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -7,6 +7,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: run fast suite with -m 'not slow'
+
 from endoscopy_tpu.config.loader import default_config
 from endoscopy_tpu.data.manifest import build_ssl_manifests, build_supervised_manifests
 from endoscopy_tpu.data.pipeline import CanonicalLoader, EvalLoader, canonical_size
