@@ -1,13 +1,18 @@
-"""Benchmark: FixMatch dual-view augmentation+train path, images/sec/chip.
+"""Benchmark: fused on-device augmentation + train steps, images/sec/chip.
 
-The BASELINE.json north-star metric. Measures the flagship configuration of
-the reference's real-SSL FixMatch run (configs/kaggle_semisupervised_real_3_1
-.yaml: ResNet-50, IMG_SIZE=112, BATCH_SIZE=32, MU=7) as ONE fused jitted
-step: on-device weak+strong RandAugment views from canonical uint8 batches,
-concat forward/backward over B*(1+2*MU) images, poly-CE + masked consistency
-loss, Adam + schedule, EMA teacher update.
+Default mode measures the BASELINE.json north-star metric — the flagship
+configuration of the reference's real-SSL FixMatch run
+(configs/kaggle_semisupervised_real_3_1.yaml: ResNet-50, IMG_SIZE=112,
+BATCH_SIZE=32, MU=7) as ONE fused jitted step: on-device weak+strong
+RandAugment views from canonical uint8 batches, concat forward/backward over
+B*(1+2*MU) images, poly-CE + masked consistency loss, Adam + schedule, EMA
+teacher update — and prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}.
 
-images/sec counts images entering the network per step: B*(1+2*MU) = 480.
+``--table`` additionally measures the heavier reference paths (224px
+progressive-resize stage, CoMatch 4-view, SemiFormer Conformer-Ti dual-head,
+supervised Swin-T) and writes BENCH_TABLE.md; the stdout contract stays one
+JSON line (table rows go to stderr).
 
 vs_baseline: ratio against an ESTIMATED reference throughput on A100
 (BASELINE.md: the reference publishes no numbers). Estimate reasoning: the
@@ -18,12 +23,18 @@ at 112px an A100 can compute ~8-10k img/s for ResNet-50 fwd+bwd, but the
 bottleneck. We take the optimistic end, 700 img/s, as the A100 baseline. The
 driver-set target is >=5x that (3500 img/s/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement notes: through the axon TPU relay, ``block_until_ready`` does NOT
+synchronize — a host fetch of a value data-dependent on the final step is the
+only reliable barrier, and the relay caches repeat executions with identical
+inputs. Every row here therefore times an evolving-state loop (each step
+consumes the previous TrainState) and fetches the last loss.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -31,75 +42,223 @@ import numpy as np
 A100_REFERENCE_IMGS_PER_SEC = 700.0  # estimated; see module docstring
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
+def _mk_cfg(model: str, img: int, b: int, mu: int, type_semi: str):
     from endoscopy_tpu.config.loader import default_config
-    from endoscopy_tpu.models import build_model
-    from endoscopy_tpu.train.fixmatch import FixMatch
+
+    import jax
 
     cfg = default_config()
-    cfg.MODEL.NAME = "resnet50"
+    cfg.MODEL.NAME = model
     cfg.MODEL.NUM_CLASSES = 6
-    cfg.DATA.IMG_SIZE = 112
-    cfg.DATA.BATCH_SIZE = 32
-    cfg.DATA.MU = 7
+    cfg.MODEL.TYPE_SEMI = type_semi
+    cfg.DATA.IMG_SIZE = img
+    cfg.DATA.BATCH_SIZE = b
+    cfg.DATA.MU = mu
     cfg.DATA.IS_CROP = True
     cfg.TRAIN.DTYPE = "bfloat16"
     cfg.TRAIN.EVAL_STEP = 512
-    n_dev = len(jax.devices())
-    cfg.TRAIN.MESH_DATA = n_dev
+    cfg.TRAIN.IS_SSL = type_semi != "None"
+    cfg.TRAIN.MESH_DATA = len(jax.devices())
     cfg.TRAIN.MESH_MODEL = 1
+    return cfg
 
-    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
-    trainer.train_dl = None
-    trainer.valid_dl = None
-    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
 
+def _canonical_batches(cfg, k: int, seed: int = 0):
+    """(K,B,...) stacked canonical uint8 batches + targets (+ unlabeled)."""
     size = int(cfg.DATA.IMG_SIZE * 1.2)
-    b = int(cfg.DATA.BATCH_SIZE)
-    mu = int(cfg.DATA.MU)
-    rng = np.random.default_rng(0)
-    x_lb = rng.integers(0, 255, (b, size, size, 3)).astype(np.uint8)
-    targets = rng.integers(0, cfg.MODEL.NUM_CLASSES, b).astype(np.int64)
-    u = rng.integers(0, 255, (b * mu, size, size, 3)).astype(np.uint8)
-    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    b, mu = int(cfg.DATA.BATCH_SIZE), int(cfg.DATA.MU)
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 255, (k, b, size, size, 3)).astype(np.uint8)
+    t = rng.integers(0, cfg.MODEL.NUM_CLASSES, (k, b)).astype(np.int64)
+    u = rng.integers(0, 255, (k, b * mu, size, size, 3)).astype(np.uint8)
+    return x, t, u
 
-    k = 8  # steps per dispatch (TRAIN.STEPS_PER_CALL; lax.scan in-device)
-    xk = np.stack([x_lb] * k)
-    tk = np.stack([targets] * k)
-    uk = np.stack([u] * k)
-    sharded = trainer._shard_stacked(xk, tk, uk)
 
-    # warmup / compile. NOTE: through the remote TPU relay in this
-    # environment, block_until_ready does NOT actually synchronize — a host
-    # fetch of a value data-dependent on the final step is the only reliable
-    # barrier. Each scan step consumes the previous state, so fetching the
-    # last loss forces the whole chain.
-    state = trainer.state
-    for _ in range(2):
-        state, losses = trainer._train_multi(state, *sharded, weights,
-                                             trainer._next_rng())
-    float(losses[-1])
-
-    calls = 5
-    steps = calls * k
+def _timed(run_calls, barrier, calls: int) -> float:
+    """Time `calls` invocations of run_calls() with a host-fetch barrier."""
+    run_calls()  # warmup+compile (twice inside)
+    barrier()
     t0 = time.perf_counter()
     for _ in range(calls):
-        state, losses = trainer._train_multi(state, *sharded, weights,
-                                             trainer._next_rng())
-    float(losses[-1])  # hard barrier (see note above)
-    dt = time.perf_counter() - t0
+        run_calls()
+    barrier()
+    return time.perf_counter() - t0
 
-    imgs_per_step = b * (1 + 2 * mu)
-    imgs_per_sec = imgs_per_step * steps / dt / n_dev
+
+def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
+                 mu: int = 7, k: int = 8, calls: int = 5) -> float:
+    """FixMatch dual-view fused step (fixmatch.py:107-127 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.fixmatch import FixMatch
+
+    cfg = _mk_cfg(model, img, b, mu, "FixMatch")
+    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    xk, tk, uk = _canonical_batches(cfg, k)
+    sharded = trainer._shard_stacked(xk, tk, uk)
+
+    box = {"state": trainer.state, "loss": None}
+
+    def run():
+        for _ in range(2):
+            box["state"], losses = trainer._train_multi(
+                box["state"], *sharded, weights, trainer._next_rng())
+            box["loss"] = losses
+
+    dt = _timed(run, lambda: float(box["loss"][-1]), calls)
+    steps = calls * 2 * k
+    return b * (1 + 2 * mu) * steps / dt / len(jax.devices())
+
+
+def row_comatch(model: str = "resnet50", img: int = 112, b: int = 32,
+                mu: int = 5, k: int = 8, calls: int = 5) -> float:
+    """CoMatch 4-view fused step incl. queue/DA state (comatch.py:107-237)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.comatch import CoMatch
+
+    cfg = _mk_cfg(model, img, b, mu, "CoMatch")
+    trainer = CoMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    xk, tk, uk = _canonical_batches(cfg, k)
+    sharded = trainer._shard_stacked(xk, tk, uk)
+    gates = jnp.ones(k, bool)
+
+    box = {"s": trainer.state, "c": trainer.comatch_state, "loss": None}
+
+    def run():
+        for _ in range(2):
+            box["s"], box["c"], losses = trainer._train_multi(
+                box["s"], box["c"], *sharded, weights, gates,
+                trainer._next_rng())
+            box["loss"] = losses
+
+    dt = _timed(run, lambda: float(box["loss"][-1]), calls)
+    steps = calls * 2 * k
+    return b * (1 + 3 * mu) * steps / dt / len(jax.devices())
+
+
+def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
+                   calls: int = 3, steps_per_call: int = 4) -> float:
+    """SemiFormer FixMatch phase on dual-head Conformer-Ti
+    (semiformer.py:119-133; config kaggle_semisupervised_real_2.yaml dims)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.semiformer import SemiFormer
+
+    cfg = _mk_cfg("conformer", img, b, mu, "SemiFormer")
+    trainer = SemiFormer(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    x, t, u = _canonical_batches(cfg, 1)
+    sx, st, su = trainer._shard(x[0], t[0], u[0])
+
+    box = {"state": trainer.state, "loss": None}
+
+    def run():
+        for _ in range(steps_per_call):
+            box["state"], box["loss"] = trainer._fixmatch_step(
+                box["state"], sx, st, su, weights, trainer._next_rng())
+
+    dt = _timed(run, lambda: float(box["loss"]), calls)
+    return b * (1 + 2 * mu) * calls * steps_per_call / dt / len(jax.devices())
+
+
+def row_supervised(model: str = "swin", img: int = 224, b: int = 64,
+                   k: int = 8, calls: int = 5) -> float:
+    """Supervised labeled-view step (supervised.py:121-136)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.supervised import SupLearning
+
+    cfg = _mk_cfg(model, img, b, 1, "None")
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    xk, tk, _ = _canonical_batches(cfg, k)
+    sx, st = trainer._shard_stacked(xk, tk)
+
+    box = {"state": trainer.state, "loss": None}
+
+    def run():
+        for _ in range(2):
+            box["state"], losses, _ = trainer._train_multi(
+                box["state"], sx, st, weights, trainer._next_rng())
+            box["loss"] = losses
+
+    dt = _timed(run, lambda: float(box["loss"][-1]), calls)
+    return b * calls * 2 * k / dt / len(jax.devices())
+
+
+TABLE_ROWS = [
+    # (name, unit-description, fn)
+    ("fixmatch_resnet50_112", "ResNet-50 112px B=32 MU=7 (flagship)",
+     lambda: row_fixmatch("resnet50", 112, 32, 7)),
+    ("fixmatch_resnet50_224", "ResNet-50 224px B=32 MU=7 (progressive stage 2)",
+     lambda: row_fixmatch("resnet50", 224, 32, 7, k=4, calls=4)),
+    ("comatch_resnet50_112", "CoMatch 4-view ResNet-50 112px B=32 MU=5",
+     lambda: row_comatch("resnet50", 112, 32, 5)),
+    ("semiformer_conformer_224", "Conformer-Ti dual-head 224px B=32 MU=6",
+     lambda: row_semiformer(224, 32, 6)),
+    ("supervised_swin_224", "Swin-T 224px B=64 labeled view",
+     lambda: row_supervised("swin", 224, 64, k=4, calls=4)),
+]
+
+
+def run_table() -> dict:
+    results = {}
+    for name, desc, fn in TABLE_ROWS:
+        try:
+            v = fn()
+            results[name] = round(float(v), 1)
+            print(f"{name:28s} {v:9.1f} img/s/chip   ({desc})",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:  # keep the table going; record the failure
+            results[name] = f"error: {exc}"
+            print(f"{name:28s} ERROR: {exc}", file=sys.stderr, flush=True)
+    with open("BENCH_TABLE.md", "w") as f:
+        f.write("# Bench table (images/sec/chip, evolving-state loops, "
+                "host-fetch barriers)\n\n| row | img/s/chip | path |\n"
+                "|---|---|---|\n")
+        for name, desc, _ in TABLE_ROWS:
+            f.write(f"| {name} | {results[name]} | {desc} |\n")
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--table", action="store_true",
+                        help="measure all reference paths, write BENCH_TABLE.md")
+    args = parser.parse_args()
+
+    if args.table:
+        results = run_table()
+        value = results.get("fixmatch_resnet50_112")
+        if not isinstance(value, float):
+            value = 0.0
+    else:
+        value = round(float(row_fixmatch()), 1)
 
     print(json.dumps({
         "metric": "fixmatch_dual_view_images_per_sec_per_chip",
-        "value": round(float(imgs_per_sec), 1),
+        "value": value,
         "unit": "images/sec/chip (ResNet-50, 112px, B=32, MU=7, bf16)",
-        "vs_baseline": round(float(imgs_per_sec) / A100_REFERENCE_IMGS_PER_SEC, 2),
+        "vs_baseline": round(value / A100_REFERENCE_IMGS_PER_SEC, 2),
     }))
 
 
