@@ -125,10 +125,11 @@ def sample_slot_params(key: jax.Array, m: int = 10):
 def apply_slot(img: jnp.ndarray, op, v, sign, apply) -> jnp.ndarray:
     """Apply one sampled op slot to a single image (float HWC, [0,255])."""
     h, w = img.shape[0], img.shape[1]
+    bound = int(0.3 * max(h, w)) + 2  # max |shift| over the geometry pool
     s1, s2, s3 = _geometry_shifts(op, v, sign, h, w)
-    geo = ops._shift_rows(img, s1)
-    geo = ops._shift_cols(geo, s2)
-    geo = ops._shift_rows(geo, s3)
+    geo = ops._shift_rows(img, s1, bound)
+    geo = ops._shift_cols(geo, s2, bound)
+    geo = ops._shift_rows(geo, s3, bound)
 
     color_idx = _COLOR_LOOKUP[op]
     color_out = jax.lax.switch(color_idx, _color_branches(), img, v)
@@ -244,10 +245,11 @@ def sample_pc_slot_params(key: jax.Array, m: int = 10):
 def apply_pc_slot(img: jnp.ndarray, op, v, sign, apply, key) -> jnp.ndarray:
     """Apply one sampled PC op slot to a single image (float HWC, [0,255])."""
     h, w = img.shape[0], img.shape[1]
+    bound = int(0.45 * max(h, w)) + 2  # PC translate max_v is 0.45
     s1, s2, s3 = _pc_geometry_shifts(op, v, sign, h, w)
-    geo = ops._shift_rows(img, s1)
-    geo = ops._shift_cols(geo, s2)
-    geo = ops._shift_rows(geo, s3)
+    geo = ops._shift_rows(img, s1, bound)
+    geo = ops._shift_cols(geo, s2, bound)
+    geo = ops._shift_rows(geo, s3, bound)
 
     color_idx = _PC_COLOR_LOOKUP[op]
     color_out = jax.lax.switch(color_idx, _pc_color_branches(h, w),

@@ -173,7 +173,7 @@ def _labeled_train_one(img, key, img_size: int):
     img = _maybe(ops.hflip, img, k_h, 0.3)
     img = _maybe(ops.vflip, img, k_v, 0.3)
     angle = jax.random.uniform(k_rot, (), minval=-20.0, maxval=20.0)
-    img = ops.rotate(img, angle)
+    img = ops.rotate(img, angle, max_degrees=20.0)
     img = _center(img, img_size)
     return _color_jitter_one(img, k_jit, 0.2, 0.2, 0.2, 0.0)
 
