@@ -47,7 +47,9 @@ def _t_dense(w) -> np.ndarray:
 # build.py surgery always re-initializes them) and registered buffers that
 # the flax models compute at trace time (relative_position_index, attn_mask).
 
-_ARCHES: Dict[str, Tuple[List[Tuple[str, str]], List[str]]] = {
+# arch -> (renames, skips); a rename replacement may be a string or a
+# callable (re.sub semantics)
+_ARCHES: Dict[str, Tuple[List[Tuple[str, Any]], List[str]]] = {
     # torchvision/timm ResNet + the reference's in-repo SEResNet (se.py:8-118:
     # SE convs conv_down/conv_up live directly on the bottleneck; timm SENets
     # use se.fc1-style submodules).
@@ -96,6 +98,34 @@ _ARCHES: Dict[str, Tuple[List[Tuple[str, str]], List[str]]] = {
         [],
         [r"^conv_cls_head\b", r"^trans_cls_head\b", r"^pooling\b"],
     ),
+    # timm 0.5.4 EfficientNet (efficientnet_b0/b1, the reference's abnormal
+    # classifier backbone via the build.py:172-220 timm fallback).
+    # blocks.0.* are DepthwiseSeparableConv (conv_pw IS the projection);
+    # later stages are InvertedResidual (conv_pw expand / conv_pwl project).
+    "efficientnet": (
+        [
+            (r"^blocks\.0\.(\d+)\.conv_dw", r"blocks.0.\1.dw_conv"),
+            (r"^blocks\.0\.(\d+)\.bn1", r"blocks.0.\1.dw_bn"),
+            (r"^blocks\.0\.(\d+)\.conv_pw", r"blocks.0.\1.project_conv"),
+            (r"^blocks\.0\.(\d+)\.bn2", r"blocks.0.\1.project_bn"),
+            (r"^blocks\.(\d+)\.(\d+)\.conv_pwl", r"blocks.\1.\2.project_conv"),
+            (r"^blocks\.(\d+)\.(\d+)\.bn3", r"blocks.\1.\2.project_bn"),
+            (r"^blocks\.(\d+)\.(\d+)\.conv_pw", r"blocks.\1.\2.expand_conv"),
+            (r"^blocks\.(\d+)\.(\d+)\.bn1", r"blocks.\1.\2.expand_bn"),
+            (r"^blocks\.(\d+)\.(\d+)\.conv_dw", r"blocks.\1.\2.dw_conv"),
+            (r"^blocks\.(\d+)\.(\d+)\.bn2", r"blocks.\1.\2.dw_bn"),
+            (r"\.se\.conv_reduce", r".se_reduce"),
+            (r"\.se\.conv_expand", r".se_expand"),
+            # flax modules are stage{S}_block{B}, 1-based on both axes
+            (r"^blocks\.(\d+)\.(\d+)\.",
+             lambda m: f"stage{int(m.group(1)) + 1}_block{int(m.group(2)) + 1}."),
+            (r"^conv_stem", r"stem_conv"),
+            (r"^bn1", r"stem_bn"),
+            (r"^conv_head", r"head_conv"),
+            (r"^bn2", r"head_bn"),
+        ],
+        [r"^classifier\b"],
+    ),
 }
 
 # torch ModelwEmb checkpoints alias every backbone param twice:
@@ -120,6 +150,8 @@ def arch_for_model(name: str) -> str:
         return "swin"
     if name == "conformer":
         return "conformer"
+    if name.startswith("efficientnet"):
+        return "efficientnet"
     raise NotImplementedError(
         f"no torch import key map for '{name}'; supported families: "
         f"{sorted(_ARCHES)}")

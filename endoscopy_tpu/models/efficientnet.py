@@ -80,19 +80,22 @@ class EfficientNet(nn.Module):
     width_mult: float = 1.0
     depth_mult: float = 1.0
     dtype: Any = jnp.bfloat16
+    stages: Tuple[Tuple[int, int, int, int, int], ...] = _B0_STAGES
+    stem_channels: int = 32
+    head_channels: int = 1280
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-3, dtype=self.dtype)
         x = x.astype(self.dtype)
-        stem = _round_channels(32 * self.width_mult)
+        stem = _round_channels(self.stem_channels * self.width_mult)
         x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = norm(name="stem_bn")(x)
         x = nn.silu(x)
 
-        for si, (expand, channels, repeats, stride, kernel) in enumerate(_B0_STAGES):
+        for si, (expand, channels, repeats, stride, kernel) in enumerate(self.stages):
             out_ch = _round_channels(channels * self.width_mult)
             reps = int(math.ceil(repeats * self.depth_mult))
             for ri in range(reps):
@@ -100,7 +103,7 @@ class EfficientNet(nn.Module):
                            norm=norm, dtype=self.dtype,
                            name=f"stage{si + 1}_block{ri + 1}")(x)
 
-        head = _round_channels(1280 * self.width_mult)
+        head = _round_channels(self.head_channels * self.width_mult)
         x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype,
                     name="head_conv")(x)
         x = norm(name="head_bn")(x)

@@ -283,3 +283,110 @@ def test_densenet_forward_parity(rng):
     x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
     _import_and_compare(fmodel, tmodel, "densenet", x,
                         lambda m, t: m(t), atol=2e-4, rtol=2e-3)
+
+
+class _TorchSqueezeExcite(torch.nn.Module):
+    """timm SqueezeExcite: reduce from the BLOCK INPUT channel budget."""
+
+    def __init__(self, mid, se_ch):
+        super().__init__()
+        self.conv_reduce = torch.nn.Conv2d(mid, se_ch, 1)
+        self.conv_expand = torch.nn.Conv2d(se_ch, mid, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = torch.nn.functional.silu(self.conv_reduce(s))
+        return x * torch.sigmoid(self.conv_expand(s))
+
+
+class _TorchDSConv(torch.nn.Module):
+    """timm DepthwiseSeparableConv (stage 1): conv_pw is the projection."""
+
+    def __init__(self, ch, out, kernel, stride):
+        super().__init__()
+        pad = kernel // 2
+        self.conv_dw = torch.nn.Conv2d(ch, ch, kernel, stride, pad,
+                                       groups=ch, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(ch, eps=1e-3)
+        self.se = _TorchSqueezeExcite(ch, max(1, int(ch * 0.25)))
+        self.conv_pw = torch.nn.Conv2d(ch, out, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(out, eps=1e-3)
+        self.has_residual = stride == 1 and ch == out
+
+    def forward(self, x):
+        y = torch.nn.functional.silu(self.bn1(self.conv_dw(x)))
+        y = self.se(y)
+        y = self.bn2(self.conv_pw(y))
+        return y + x if self.has_residual else y
+
+
+class _TorchInvRes(torch.nn.Module):
+    """timm InvertedResidual: conv_pw expand / conv_pwl project."""
+
+    def __init__(self, in_ch, out, expand, kernel, stride):
+        super().__init__()
+        mid = in_ch * expand
+        pad = kernel // 2
+        self.conv_pw = torch.nn.Conv2d(in_ch, mid, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_dw = torch.nn.Conv2d(mid, mid, kernel, stride, pad,
+                                       groups=mid, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+        self.se = _TorchSqueezeExcite(mid, max(1, int(in_ch * 0.25)))
+        self.conv_pwl = torch.nn.Conv2d(mid, out, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(out, eps=1e-3)
+        self.has_residual = stride == 1 and in_ch == out
+
+    def forward(self, x):
+        y = torch.nn.functional.silu(self.bn1(self.conv_pw(x)))
+        y = torch.nn.functional.silu(self.bn2(self.conv_dw(y)))
+        y = self.se(y)
+        y = self.bn3(self.conv_pwl(y))
+        return y + x if self.has_residual else y
+
+
+class _TorchEffNet(torch.nn.Module):
+    """Minimal torch EfficientNet with timm 0.5.4 key naming."""
+
+    def __init__(self, stages, stem=8, head=32):
+        super().__init__()
+        self.conv_stem = torch.nn.Conv2d(3, stem, 3, 2, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(stem, eps=1e-3)
+        blocks = []
+        ch = stem
+        for si, (expand, out, repeats, stride, kernel) in enumerate(stages):
+            stage = []
+            for ri in range(repeats):
+                s = stride if ri == 0 else 1
+                if expand == 1:
+                    stage.append(_TorchDSConv(ch, out, kernel, s))
+                else:
+                    stage.append(_TorchInvRes(ch, out, expand, kernel, s))
+                ch = out
+            blocks.append(torch.nn.Sequential(*stage))
+        self.blocks = torch.nn.Sequential(*blocks)
+        self.conv_head = torch.nn.Conv2d(ch, head, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(head, eps=1e-3)
+
+    def forward(self, x):
+        x = torch.nn.functional.silu(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        x = torch.nn.functional.silu(self.bn2(self.conv_head(x)))
+        return x.mean(dim=(2, 3))
+
+
+def test_efficientnet_forward_parity(rng):
+    """EfficientNet trunk vs a timm-keyed torch oracle (the reference's
+    efficientnet_b1 abnormal backbone, build.py:172-220 timm fallback)."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.efficientnet import EfficientNet
+
+    stages = ((1, 8, 1, 1, 3), (6, 16, 2, 2, 3), (6, 24, 2, 2, 5))
+    tmodel = _TorchEffNet(stages, stem=8, head=32)
+    _randomize(tmodel)
+    fmodel = EfficientNet(stages=stages, stem_channels=8, head_channels=32,
+                          dtype=jnp.float32)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    _import_and_compare(fmodel, tmodel, "efficientnet", x,
+                        lambda m, t: m(t), atol=2e-4, rtol=2e-3)
