@@ -251,6 +251,7 @@ class CoMatch(BaseTrainer):
         total = int(self.config.TRAIN.EVAL_STEP)
         k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
         batch_idx = 0
+        pending = []  # deferred loss fetch keeps dispatch async (see fixmatch)
         while batch_idx < total:
             k_here = min(k, total - batch_idx)
             xs, ts, us, gates = [], [], [], []
@@ -268,16 +269,17 @@ class CoMatch(BaseTrainer):
                     *self._shard_stacked(np.stack(xs), np.stack(ts),
                                          np.stack(us)),
                     weights, jnp.asarray(gates), self._next_rng())
-                for loss in np.asarray(losses):
-                    summary_loss.update(float(loss),
-                                        int(self.config.DATA.BATCH_SIZE))
+                pending.append(losses)
             else:
                 for j in range(k_here):
                     self.state, self.comatch_state, loss, _ = self._train_step(
                         self.state, self.comatch_state,
                         *self._shard(xs[j], ts[j], us[j]), weights,
                         jnp.asarray(gates[j], bool), self._next_rng())
-                    summary_loss.update(float(loss),
-                                        int(self.config.DATA.BATCH_SIZE))
+                    pending.append(loss)
             batch_idx += k_here
+        for losses in pending:
+            for loss in np.asarray(losses).ravel():
+                summary_loss.update(float(loss),
+                                    int(self.config.DATA.BATCH_SIZE))
         return summary_loss

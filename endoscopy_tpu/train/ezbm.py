@@ -133,14 +133,18 @@ class EZBM(BaseTrainer):
             weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
         self.mem_features, self.mem_targets = [], []
         it = iter(self.train_dl)
+        pending = []  # deferred fetch keeps dispatch async (see fixmatch)
         for _ in range(self.n_iter_per_epoch):
             batch_u8, targets = next(it)
             x3 = self._build_triplet_batch(batch_u8, targets)
             self.state, loss, anchor_fts = self._stage1_step(
                 self.state, *self._shard(x3, targets), weights,
                 self._next_rng())
-            self.mem_features.append(np.asarray(anchor_fts))
+            pending.append(loss)
+            self.mem_features.append(anchor_fts)
             self.mem_targets.append(np.asarray(targets))
+        self.mem_features = [np.asarray(f) for f in self.mem_features]
+        for loss in pending:
             summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
         return summary_loss
 
@@ -228,6 +232,7 @@ class EZBM(BaseTrainer):
         num_steps = max(len(targets) // bs2, 1)
         rng = np.random.default_rng(int(self.config.TRAIN.get("SEED", 42)) + epoch)
 
+        pending = []  # deferred loss fetch keeps dispatch async (see fixmatch)
         for _ in range(num_steps):
             idx, dual = self._sample_stage2_batch(feats, targets, bs2, rng)
             y, yd = targets[idx], targets[dual]
@@ -241,6 +246,8 @@ class EZBM(BaseTrainer):
                 jnp.asarray(feats[idx]), jnp.asarray(y),
                 jnp.asarray(feats[dual]), jnp.asarray(yd),
                 jnp.asarray(lam[:, None], jnp.float32), self._next_rng())
+            pending.append(loss)
+        for loss in pending:
             summary_loss.update(float(loss), bs2)
         return summary_loss
 

@@ -135,6 +135,8 @@ class FixMatch(BaseTrainer):
         total = int(self.config.TRAIN.EVAL_STEP)
         k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
         done = 0
+        pending = []  # un-fetched device losses: keeps dispatch async so the
+        # host preps batch N+1 while the device runs N (fetched at epoch end)
         while done < total:
             k_here = min(k, total - done)
             xs, ts, us = [], [], []
@@ -149,17 +151,18 @@ class FixMatch(BaseTrainer):
                     self.state, *self._shard_stacked(np.stack(xs), np.stack(ts),
                                                      np.stack(us)),
                     weights, self._next_rng())
-                for loss in np.asarray(losses):
-                    summary_loss.update(float(loss),
-                                        int(self.config.DATA.BATCH_SIZE))
+                pending.append(losses)
             else:  # ragged tail: per-step path keeps one compiled multi shape
                 for x_lb, targets, u_canon in zip(xs, ts, us):
                     self.state, loss, _ = self._train_step(
                         self.state, *self._shard(x_lb, targets, u_canon),
                         weights, self._next_rng())
-                    summary_loss.update(float(loss),
-                                        int(self.config.DATA.BATCH_SIZE))
+                    pending.append(loss)
             done += k_here
+        for losses in pending:
+            for loss in np.asarray(losses).ravel():
+                summary_loss.update(float(loss),
+                                    int(self.config.DATA.BATCH_SIZE))
         return summary_loss
 
     def get_dataloader(self, train_dl, valid_dl, test_dl=None) -> None:

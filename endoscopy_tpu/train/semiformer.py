@@ -152,6 +152,7 @@ class SemiFormer(BaseTrainer):
         if weights is None:
             weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
         labeled_iter = iter(self.train_dl[0])
+        pending = []  # deferred loss fetch keeps dispatch async (see fixmatch)
         if epoch < self.eval_step_sup:
             # supervised warmup sweeps the labeled set once (semiformer.py:72-76)
             n = max(len(self.train_dl[0].manifest)
@@ -161,7 +162,7 @@ class SemiFormer(BaseTrainer):
                 self.state, loss = self._warmup_step(
                     self.state, *self._shard(x_u8, targets), weights,
                     self._next_rng())
-                summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+                pending.append(loss)
         else:
             unlabeled_iter = iter(self.train_dl[1])
             for _ in range(int(self.config.TRAIN.EVAL_STEP)):
@@ -170,5 +171,7 @@ class SemiFormer(BaseTrainer):
                 self.state, loss = self._fixmatch_step(
                     self.state, *self._shard(x_u8, targets, u_canon), weights,
                     self._next_rng())
-                summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+                pending.append(loss)
+        for loss in pending:
+            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
         return summary_loss

@@ -221,6 +221,10 @@ class SupLearning(BaseTrainer):
         total = self.n_iter_per_epoch
         k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
         done = 0
+        pending = []  # un-fetched device losses (dispatch stays async; the
+        # host preps batch N+1 while the device runs N)
+        last_aux = None
+        last_aux_multi = False
         while done < total:
             k_here = min(k, total - done)
             xs, ts = [], []
@@ -234,22 +238,25 @@ class SupLearning(BaseTrainer):
                 self.state, losses, aux = self._train_multi(
                     self.state, *self._shard_stacked(np.stack(xs), np.stack(ts)),
                     weights, self._next_rng())
-                if self.is_triplet:
-                    # last scanned step's distances (supervised.py:141-144)
-                    self._last_triplet_dist = tuple(np.asarray(a)[-1] for a in aux)
-                for loss in np.asarray(losses):
-                    summary_loss.update(float(loss),
-                                        int(self.config.DATA.BATCH_SIZE))
+                pending.append(losses)
+                last_aux, last_aux_multi = aux, True
             else:
                 for batch_u8, targets in zip(xs, ts):
                     self.state, loss, aux = self._train_step(
                         self.state, *self._shard(batch_u8, targets), weights,
                         self._next_rng())
-                    if self.is_triplet:
-                        self._last_triplet_dist = tuple(np.asarray(a) for a in aux)
-                    summary_loss.update(float(loss),
-                                        int(self.config.DATA.BATCH_SIZE))
+                    pending.append(loss)
+                    last_aux, last_aux_multi = aux, False
             done += k_here
+        for losses in pending:
+            for loss in np.asarray(losses).ravel():
+                summary_loss.update(float(loss),
+                                    int(self.config.DATA.BATCH_SIZE))
+        if self.is_triplet and last_aux is not None:
+            # last step's distances (supervised.py:141-144)
+            self._last_triplet_dist = tuple(
+                np.asarray(a)[-1] if last_aux_multi else np.asarray(a)
+                for a in last_aux)
         # triplet-distance histogram every 5 epochs (supervised.py:141-144)
         if self.is_triplet and epoch % 5 == 0 and \
                 getattr(self, "_last_triplet_dist", None) is not None:
