@@ -56,3 +56,49 @@ def test_param_sampling_distribution():
     assert 0.4 < applies.mean() < 0.6  # p=0.5 apply (randaugment.py:219)
     assert pf[:, 0::2].min() >= 1 and pf[:, 0::2].max() <= 9  # v ~ randint(1,10)
     assert set(np.unique(pf[:, 1::2])) <= {-1.0, 1.0}
+
+
+def test_kernel_equalize_forced(rng):
+    """Both slots forced to equalize (apply=1): the in-kernel equalize must
+    match the XLA ops.equalize exactly."""
+    imgs = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)), jnp.float32)
+    pi = np.zeros((B, 6), np.int32)
+    pi[:, 0] = S  # cutout center off-frame corner: minimal overlap
+    pi[:, 1] = S
+    pi[:, 2] = 4  # equalize
+    pi[:, 3] = 1
+    pi[:, 4] = 4
+    pi[:, 5] = 1
+    pf = np.tile(np.asarray([5.0, 1.0, 5.0, 1.0], np.float32), (B, 1))
+    out_k = np.asarray(_forced_kernel(imgs, jnp.asarray(pi), jnp.asarray(pf)))
+    out_x = np.asarray(xla_reference(imgs, jnp.asarray(pi), jnp.asarray(pf)))
+    np.testing.assert_allclose(out_k, out_x, atol=1e-4)
+
+
+def _forced_kernel(imgs, pi, pf):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endoscopy_tpu.ops import randaugment_kernel as rk
+
+    b, h, w, _ = imgs.shape
+    PAD = rk._pad_for(h)
+    planar = imgs.transpose(0, 3, 1, 2).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, h, w), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(rk._kernel, n_slots=2, h=h, w=w, PAD=PAD),
+        out_shape=jax.ShapeDtypeStruct(planar.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=True,
+    )(pi, pf, planar)
+    return out.transpose(0, 2, 3, 1)

@@ -64,6 +64,8 @@ def main() -> None:
     parser.add_argument("--mu", type=int, default=7)
     parser.add_argument("--k", type=int, default=8)
     parser.add_argument("--calls", type=int, default=5)
+    parser.add_argument("--ops", default="",
+                        help="comma-separated op ids to restrict --parts ops")
     parser.add_argument("--parts", default="labeled,weak,strongpre,randaug")
     args = parser.parse_args()
     parts = args.parts.split(",")
@@ -126,7 +128,10 @@ def main() -> None:
         from endoscopy_tpu.ops import randaugment_kernel as rk
         from jax.experimental import pallas as pl  # noqa: F401
 
+        keep = {int(o) for o in args.ops.split(",") if o != ""}
         for opid, name in enumerate(names):
+            if keep and opid not in keep:
+                continue
             pi = np.zeros((bu, 6), np.int32)
             pi[:, 0] = img // 2
             pi[:, 1] = img // 2
