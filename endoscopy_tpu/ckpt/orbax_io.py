@@ -13,6 +13,7 @@ meta.json carries {epoch, best_valid_*}.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import re
@@ -21,21 +22,45 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import orbax.checkpoint as ocp
 
+# One long-lived checkpointer so saves run ASYNC: orbax snapshots the device
+# arrays and writes in the background while training continues (the jitted
+# steps build NEW buffers functionally, so in-flight saves never see torn
+# state). wait_until_finished() is called before any dependent operation.
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+        atexit.register(wait_until_finished)
+    return _CKPTR
+
+
+def wait_until_finished() -> None:
+    """Block until all in-flight async saves are durable."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
 
 def save_checkpoint(save_dir: str, name: str, state: Any,
-                    metadata: Dict) -> str:
+                    metadata: Dict, block: bool = False) -> str:
     path = os.path.abspath(os.path.join(save_dir, name))
     os.makedirs(save_dir, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state, force=True)
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # one save in flight at a time
+    ckptr.save(os.path.join(path, "state"), state, force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(metadata, f)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
 def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:
     """Restore into the structure of ``target`` (an abstract or concrete
     TrainState pytree)."""
+    wait_until_finished()  # a just-issued save of this path must be durable
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)

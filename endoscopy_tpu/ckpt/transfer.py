@@ -83,6 +83,10 @@ def _restore_orbax_raw(path: str) -> Dict[str, Any]:
     model's (the whole point of the surgery)."""
     import orbax.checkpoint as ocp
 
+    from endoscopy_tpu.ckpt.orbax_io import wait_until_finished
+
+    wait_until_finished()  # a just-issued async save of this path must be durable
+
     state_dir = os.path.join(path, "state")
     if not os.path.isdir(state_dir):
         state_dir = path
