@@ -122,10 +122,14 @@ def sample_slot_params(key: jax.Array, m: int = 10):
     return op, v, sign, apply
 
 
-def apply_slot(img: jnp.ndarray, op, v, sign, apply) -> jnp.ndarray:
-    """Apply one sampled op slot to a single image (float HWC, [0,255])."""
+def apply_slot(img: jnp.ndarray, op, v, sign, apply, m: int = 10) -> jnp.ndarray:
+    """Apply one sampled op slot to a single image (float HWC, [0,255]).
+
+    ``m`` is the magnitude cap the slot was sampled with (v <= m - 1); it
+    sizes the static shift bound for the geometry roll passes."""
     h, w = img.shape[0], img.shape[1]
-    bound = int(0.3 * max(h, w)) + 2  # max |shift| over the geometry pool
+    # max |shift| over the geometry pool: translate = trunc(v*0.3/10 * dim)
+    bound = int((m - 1) * 0.3 / 10.0 * max(h, w)) + 2
     s1, s2, s3 = _geometry_shifts(op, v, sign, h, w)
     geo = ops._shift_rows(img, s1, bound)
     geo = ops._shift_cols(geo, s2, bound)
@@ -140,7 +144,7 @@ def apply_slot(img: jnp.ndarray, op, v, sign, apply) -> jnp.ndarray:
 
 def randaugment_slot(img: jnp.ndarray, key: jax.Array, m: int = 10) -> jnp.ndarray:
     """One RandAugmentMC op slot on a single image (float HWC, [0,255])."""
-    return apply_slot(img, *sample_slot_params(key, m))
+    return apply_slot(img, *sample_slot_params(key, m), m=m)
 
 
 def randaugment_mc(img: jnp.ndarray, key: jax.Array, n: int = 2, m: int = 10
@@ -242,10 +246,12 @@ def sample_pc_slot_params(key: jax.Array, m: int = 10):
     return op, v, sign, apply
 
 
-def apply_pc_slot(img: jnp.ndarray, op, v, sign, apply, key) -> jnp.ndarray:
-    """Apply one sampled PC op slot to a single image (float HWC, [0,255])."""
+def apply_pc_slot(img: jnp.ndarray, op, v, sign, apply, key,
+                  m: int = 10) -> jnp.ndarray:
+    """Apply one sampled PC op slot to a single image (float HWC, [0,255]);
+    PC draws v = m exactly (randaugment.py:198), translate max_v 0.45."""
     h, w = img.shape[0], img.shape[1]
-    bound = int(0.45 * max(h, w)) + 2  # PC translate max_v is 0.45
+    bound = int(m * 0.45 / 10.0 * max(h, w)) + 2
     s1, s2, s3 = _pc_geometry_shifts(op, v, sign, h, w)
     geo = ops._shift_rows(img, s1, bound)
     geo = ops._shift_cols(geo, s2, bound)
@@ -265,6 +271,7 @@ def randaugment_pc(img: jnp.ndarray, key: jax.Array, n: int = 2, m: int = 10
     [0,255]."""
     for _ in range(n):
         key, k_slot, k_branch = jax.random.split(key, 3)
-        img = apply_pc_slot(img, *sample_pc_slot_params(k_slot, m), k_branch)
+        img = apply_pc_slot(img, *sample_pc_slot_params(k_slot, m), k_branch,
+                            m=m)
     key, k_cut = jax.random.split(key)
     return ops.cutout_abs(img, jnp.float32(16.0), k_cut)

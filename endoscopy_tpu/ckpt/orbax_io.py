@@ -62,6 +62,10 @@ def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:
     TrainState pytree)."""
     wait_until_finished()  # a just-issued save of this path must be durable
     path = os.path.abspath(path)
+    if not os.path.isdir(os.path.join(path, "state")):
+        raise FileNotFoundError(
+            f"checkpoint '{path}' has no finalized state/ dir (crashed "
+            f"mid-save?); use latest_checkpoint() to find a complete one")
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         state = ckptr.restore(os.path.join(path, "state"), abstract)
@@ -74,12 +78,18 @@ def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:
-    """Highest epoch_<N> directory under save_dir."""
+    """Highest COMPLETE epoch_<N> directory under save_dir.
+
+    Async saves write the orbax state into a temp dir and atomically rename
+    it to ``<dir>/state`` on finalize, while ``meta.json`` is written
+    eagerly — so a crash mid-save leaves a directory with metadata but no
+    ``state``. Such incomplete checkpoints are skipped."""
     if not os.path.isdir(save_dir):
         return None
     best, best_n = None, -1
     for d in os.listdir(save_dir):
         m = re.fullmatch(r"epoch_(\d+)", d)
-        if m and int(m.group(1)) > best_n:
+        if (m and int(m.group(1)) > best_n
+                and os.path.isdir(os.path.join(save_dir, d, "state"))):
             best, best_n = os.path.join(save_dir, d), int(m.group(1))
     return best

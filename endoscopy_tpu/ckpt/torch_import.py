@@ -57,8 +57,8 @@ _ARCHES: Dict[str, Tuple[List[Tuple[str, Any]], List[str]]] = {
         [
             (r"^layer(\d+)\.(\d+)\.downsample\.0", r"layer\1_\2.downsample_conv"),
             (r"^layer(\d+)\.(\d+)\.downsample\.1", r"layer\1_\2.downsample_bn"),
-            (r"^layer(\d+)\.(\d+)\.se\.fc_down", r"layer\1_\2.se.fc_down"),
-            (r"^layer(\d+)\.(\d+)\.se\.fc_up", r"layer\1_\2.se.fc_up"),
+            # (timm-style se.fc_down/fc_up keys fall through to the generic
+            # layer rule unchanged — no dedicated entries needed)
             (r"^layer(\d+)\.(\d+)\.selayer\.conv_down", r"layer\1_\2.se.fc_down"),
             (r"^layer(\d+)\.(\d+)\.selayer\.conv_up", r"layer\1_\2.se.fc_up"),
             (r"^layer(\d+)\.(\d+)\.conv_down", r"layer\1_\2.se.fc_down"),
@@ -142,7 +142,7 @@ def arch_for_model(name: str) -> str:
         return "resnet"
     if name.startswith("densenet"):
         return "densenet"
-    if name == "swin_mlp" or name.startswith("swin_mlp"):
+    if name.startswith("swin_mlp"):
         raise NotImplementedError(
             "torch weight import for swin_mlp is not implemented; train from "
             "scratch or use an orbax checkpoint")

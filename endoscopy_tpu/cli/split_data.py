@@ -31,7 +31,9 @@ def split_dataframe(df: pd.DataFrame, valid_frac: float = 0.2, seed: int = 42,
     """Return a copy of ``df`` with ``is_valid`` (and optionally
     ``is_labeled``) columns, preserving the reference CSV schema."""
     rng = np.random.default_rng(seed)
-    df = df.copy()
+    # positional masks throughout: reset to a RangeIndex so groupby labels
+    # are valid positions regardless of the caller's index
+    df = df.reset_index(drop=True)
     n = len(df)
 
     if stratify:

@@ -251,6 +251,7 @@ class CoMatch(BaseTrainer):
         total = int(self.config.TRAIN.EVAL_STEP)
         k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
         batch_idx = 0
+        bs = int(self.config.DATA.BATCH_SIZE)
         pending = []  # deferred loss fetch keeps dispatch async (see fixmatch)
         while batch_idx < total:
             k_here = min(k, total - batch_idx)
@@ -278,8 +279,6 @@ class CoMatch(BaseTrainer):
                         jnp.asarray(gates[j], bool), self._next_rng())
                     pending.append(loss)
             batch_idx += k_here
-        for losses in pending:
-            for loss in np.asarray(losses).ravel():
-                summary_loss.update(float(loss),
-                                    int(self.config.DATA.BATCH_SIZE))
+            self._drain_pending(pending, summary_loss, bs)
+        self._drain_pending(pending, summary_loss, bs, keep=0)
         return summary_loss

@@ -183,6 +183,22 @@ class BaseTrainer:
             return self.state.ema_params, self.state.ema_batch_stats
         return self.state.params, self.state.batch_stats
 
+    @staticmethod
+    def _fetch_batch_rows(arr, n_local: int):
+        """Host-local rows of a batch-sharded jit output.
+
+        Single-process: the whole array. Multi-process: a global array
+        spanning non-addressable devices cannot be np.asarray'd — fetch this
+        process's addressable shards in global row order, which are exactly
+        the rows this host contributed via _shard (each host's eval loader
+        iterates the FULL valid set, so local rows == the full set over the
+        loop; duplicate compute across hosts, correct results everywhere)."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in shards])[:n_local]
+
     def evaluate_one(self, show_metric: bool = False, show_report: bool = False,
                      show_cf_matrix: bool = False):
         params, batch_stats = self._eval_params()
@@ -194,9 +210,10 @@ class BaseTrainer:
             n = int(count)
             if n:
                 summary_loss.update(float(loss_sum) / n, n)
-            probs = np.asarray(probs)[np.asarray(mask)]
+            keep = np.asarray(mask)
+            probs = self._fetch_batch_rows(probs, len(keep))[keep]
             all_probs.append(probs)
-            all_targets.append(np.asarray(targets)[np.asarray(mask)])
+            all_targets.append(np.asarray(targets)[keep])
         probs = np.concatenate(all_probs)
         preds = probs.argmax(axis=1)
         targets = np.concatenate(all_targets)
@@ -218,7 +235,8 @@ class BaseTrainer:
             _, _, probs = self._eval_step(
                 params, batch_stats, *self._shard(batch_u8, t, mask))
             keep = np.asarray(mask)
-            preds.append(np.asarray(probs).argmax(axis=1)[keep])
+            preds.append(
+                self._fetch_batch_rows(probs, len(keep)).argmax(axis=1)[keep])
             targets.append(np.asarray(t)[keep])
         return np.concatenate(preds) != np.concatenate(targets)
 
@@ -237,8 +255,8 @@ class BaseTrainer:
             _, _, probs = self._eval_step(
                 params, batch_stats,
                 *self._shard(batch_u8, np.zeros(len(batch_u8), np.int64), mask))
-            probs = np.asarray(probs)
             keep = np.asarray(mask)
+            probs = self._fetch_batch_rows(probs, len(keep))
             max_val = probs.max(axis=1)
             preds = probs.argmax(axis=1) * (max_val > float(self.config.TRAIN.THRES))
             for i, p in zip(np.nonzero(keep)[0], preds[keep]):
@@ -261,6 +279,7 @@ class BaseTrainer:
     def load_checkpoint(self, checkpoint_dir: str, is_train: bool = False) -> None:
         state, meta = orbax_io.restore_checkpoint(checkpoint_dir, self.state)
         self.state = state
+        self._resumed = True
         self.epoch_start = int(meta.get("epoch", 1))
         self.best_valid_perf = meta.get("best_valid_perf")
         # freeze policy reapplied on load (fixmatch.py:204-236)
@@ -272,6 +291,21 @@ class BaseTrainer:
 
     def train_one(self, epoch: int) -> AverageMeter:  # pragma: no cover - abstract
         raise NotImplementedError
+
+    @staticmethod
+    def _drain_pending(pending, summary_loss, batch_size: int,
+                       keep: int = 2) -> None:
+        """Fetch all but the last ``keep`` deferred device losses into the
+        meter. Keeping a small window preserves host/device overlap while
+        BOUNDING in-flight dispatches — fetching dispatch N-2 blocks until
+        it ran, so at most ~``keep`` dispatches (and their pinned input
+        batches) queue on the device at once. keep=0 drains everything
+        (epoch end)."""
+        import numpy as np
+
+        while len(pending) > keep:
+            for loss in np.asarray(pending.pop(0)).ravel():
+                summary_loss.update(float(loss), batch_size)
 
     def _metric_logger(self):
         if not hasattr(self, "_logger"):
@@ -295,8 +329,10 @@ class BaseTrainer:
 
         logger = self._metric_logger()
         images_per_step = self._images_per_step()
-        if self.epoch_start == int(self.config.TRAIN.EPOCHS):
-            # resume at the final epoch: evaluate only (fixmatch.py:238-241)
+        if (getattr(self, "_resumed", False)
+                and self.epoch_start == int(self.config.TRAIN.EPOCHS)):
+            # RESUME at the final epoch: evaluate only (fixmatch.py:238-241).
+            # A fresh run with EPOCHS == 1 must still train its one epoch.
             valid_loss, valid_metric = self.evaluate_one()
             print(f"\tValid Loss: {valid_loss.avg:.3f}")
             print(f"\tMetric: {valid_metric}")

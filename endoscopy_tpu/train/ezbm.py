@@ -123,8 +123,10 @@ class EZBM(BaseTrainer):
         for i, y in enumerate(targets):
             pos_idx[i] = rng.choice(np.nonzero(t == y)[0])
             neg_idx[i] = rng.choice(np.nonzero(t != y)[0])
-        return np.concatenate([batch_u8, loader.sample(pos_idx),
-                               loader.sample(neg_idx)], axis=0)
+        # one sample() call for both roles (native loader spins a transient
+        # decode core per call)
+        both = loader.sample(np.concatenate([pos_idx, neg_idx]))
+        return np.concatenate([batch_u8, both], axis=0)
 
     def train_one_stage_1(self, epoch: int) -> AverageMeter:
         summary_loss = AverageMeter()
@@ -143,9 +145,11 @@ class EZBM(BaseTrainer):
             pending.append(loss)
             self.mem_features.append(anchor_fts)
             self.mem_targets.append(np.asarray(targets))
+            self._drain_pending(pending, summary_loss,
+                                int(self.config.DATA.BATCH_SIZE), keep=8)
         self.mem_features = [np.asarray(f) for f in self.mem_features]
-        for loss in pending:
-            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+        self._drain_pending(pending, summary_loss,
+                            int(self.config.DATA.BATCH_SIZE), keep=0)
         return summary_loss
 
     # -- stage 2 ------------------------------------------------------------
@@ -247,8 +251,8 @@ class EZBM(BaseTrainer):
                 jnp.asarray(feats[dual]), jnp.asarray(yd),
                 jnp.asarray(lam[:, None], jnp.float32), self._next_rng())
             pending.append(loss)
-        for loss in pending:
-            summary_loss.update(float(loss), bs2)
+            self._drain_pending(pending, summary_loss, bs2, keep=8)
+        self._drain_pending(pending, summary_loss, bs2, keep=0)
         return summary_loss
 
     # -- fit: stage 1 with early stop, then freeze + rebuild optimizer +
@@ -259,7 +263,7 @@ class EZBM(BaseTrainer):
         self.best_valid_loss = None
         self.best_valid_score = None
         count_early_stop = 0
-        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS)):
+        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS) + 1):
             if count_early_stop > 5:
                 print("Early stopping stage 1")
                 break
@@ -277,7 +281,7 @@ class EZBM(BaseTrainer):
                                     lr=self.lr_schedule)
         self._opt_state2 = self._tx2.init(self.state.params)
         count_early_stop = 0
-        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS)):
+        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS) + 1):
             if count_early_stop > 10:
                 print("Early stopping stage 2")
                 break

@@ -135,8 +135,10 @@ class FixMatch(BaseTrainer):
         total = int(self.config.TRAIN.EVAL_STEP)
         k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
         done = 0
+        bs = int(self.config.DATA.BATCH_SIZE)
         pending = []  # un-fetched device losses: keeps dispatch async so the
-        # host preps batch N+1 while the device runs N (fetched at epoch end)
+        # host preps batch N+1 while the device runs N; a 2-dispatch window
+        # bounds queued inputs on the device (_drain_pending)
         while done < total:
             k_here = min(k, total - done)
             xs, ts, us = [], [], []
@@ -159,10 +161,8 @@ class FixMatch(BaseTrainer):
                         weights, self._next_rng())
                     pending.append(loss)
             done += k_here
-        for losses in pending:
-            for loss in np.asarray(losses).ravel():
-                summary_loss.update(float(loss),
-                                    int(self.config.DATA.BATCH_SIZE))
+            self._drain_pending(pending, summary_loss, bs)
+        self._drain_pending(pending, summary_loss, bs, keep=0)
         return summary_loss
 
     def get_dataloader(self, train_dl, valid_dl, test_dl=None) -> None:

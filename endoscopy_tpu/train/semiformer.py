@@ -152,6 +152,7 @@ class SemiFormer(BaseTrainer):
         if weights is None:
             weights = jnp.ones(int(self.config.MODEL.NUM_CLASSES), jnp.float32)
         labeled_iter = iter(self.train_dl[0])
+        bs = int(self.config.DATA.BATCH_SIZE)
         pending = []  # deferred loss fetch keeps dispatch async (see fixmatch)
         if epoch < self.eval_step_sup:
             # supervised warmup sweeps the labeled set once (semiformer.py:72-76)
@@ -163,6 +164,7 @@ class SemiFormer(BaseTrainer):
                     self.state, *self._shard(x_u8, targets), weights,
                     self._next_rng())
                 pending.append(loss)
+                self._drain_pending(pending, summary_loss, bs, keep=8)
         else:
             unlabeled_iter = iter(self.train_dl[1])
             for _ in range(int(self.config.TRAIN.EVAL_STEP)):
@@ -172,6 +174,6 @@ class SemiFormer(BaseTrainer):
                     self.state, *self._shard(x_u8, targets, u_canon), weights,
                     self._next_rng())
                 pending.append(loss)
-        for loss in pending:
-            summary_loss.update(float(loss), int(self.config.DATA.BATCH_SIZE))
+                self._drain_pending(pending, summary_loss, bs, keep=8)
+        self._drain_pending(pending, summary_loss, bs, keep=0)
         return summary_loss

@@ -204,9 +204,10 @@ class SupLearning(BaseTrainer):
             diff = np.nonzero(t != y)[0]
             pos_idx[i] = rng.choice(same)
             neg_idx[i] = rng.choice(diff)
-        pos = loader.sample(pos_idx)
-        neg = loader.sample(neg_idx)
-        return np.concatenate([batch_u8, pos, neg], axis=0)
+        # one sample() call for both roles: the native loader spins up a
+        # transient decode core per call, so halve that per-step overhead
+        both = loader.sample(np.concatenate([pos_idx, neg_idx]))
+        return np.concatenate([batch_u8, both], axis=0)
 
     def train_one(self, epoch: int) -> AverageMeter:
         summary_loss = AverageMeter()
@@ -221,8 +222,9 @@ class SupLearning(BaseTrainer):
         total = self.n_iter_per_epoch
         k = max(1, min(int(self.config.TRAIN.get("STEPS_PER_CALL", 8)), total))
         done = 0
+        bs = int(self.config.DATA.BATCH_SIZE)
         pending = []  # un-fetched device losses (dispatch stays async; the
-        # host preps batch N+1 while the device runs N)
+        # host preps batch N+1 while the device runs N; 2-dispatch window)
         last_aux = None
         last_aux_multi = False
         while done < total:
@@ -248,10 +250,8 @@ class SupLearning(BaseTrainer):
                     pending.append(loss)
                     last_aux, last_aux_multi = aux, False
             done += k_here
-        for losses in pending:
-            for loss in np.asarray(losses).ravel():
-                summary_loss.update(float(loss),
-                                    int(self.config.DATA.BATCH_SIZE))
+            self._drain_pending(pending, summary_loss, bs)
+        self._drain_pending(pending, summary_loss, bs, keep=0)
         if self.is_triplet and last_aux is not None:
             # last step's distances (supervised.py:141-144)
             self._last_triplet_dist = tuple(
@@ -281,10 +281,18 @@ class SupLearning(BaseTrainer):
 
     # fit with early stop + loss∧F1 checkpoint gate (supervised.py:316-364)
     def fit(self) -> None:
+        if (getattr(self, "_resumed", False)
+                and self.epoch_start == int(self.config.TRAIN.EPOCHS)):
+            # resume at the final epoch: evaluate only (fixmatch.py:238-241;
+            # the reference's supervised loop simply falls through empty)
+            valid_loss, valid_metric = self.evaluate_one()
+            print(f"\tValid Loss: {valid_loss.avg:.3f}")
+            print(f"\tMetric: {valid_metric}")
+            return
         count_early_stop = 0
         self.best_valid_loss = None
         self.best_valid_score = None
-        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS)):
+        for epoch in range(self.epoch_start, int(self.config.TRAIN.EPOCHS) + 1):
             if count_early_stop > 5:
                 print("Early stopping")
                 break

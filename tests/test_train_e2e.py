@@ -125,3 +125,31 @@ def test_pseudo_label_inference(dataset):
     preds = trainer.inference(unl_dl)
     assert len(preds) == len(unl_m)
     assert all(0 <= v < cfg.MODEL.NUM_CLASSES for v in preds.values())
+
+
+def test_fit_trains_fresh_run_with_one_epoch(dataset):
+    """A FRESH run with TRAIN.EPOCHS == 1 must train its single epoch; only
+    a RESUMED trainer already at the final epoch evaluates without training
+    (fixmatch.py:238-241)."""
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"TRAIN.FREQ_EVAL": 5})
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls_num_list = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+    train_dl = CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0)
+    valid_dl = EvalLoader(valid_m, cfg.DATA.BATCH_SIZE, size)
+
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(train_dl, valid_dl)
+    trainer.get_config(cfg, cls_num_list=cls_num_list,
+                       labeled_targets=train_m.targets)
+    assert int(trainer.state.step) == 0
+    trainer.fit()
+    assert int(trainer.state.step) > 0  # the one epoch actually trained
+
+    # simulate resume-at-final-epoch: eval-only, no further training
+    trainer._resumed = True
+    trainer.epoch_start = int(cfg.TRAIN.EPOCHS)
+    step_before = int(trainer.state.step)
+    trainer.fit()
+    assert int(trainer.state.step) == step_before

@@ -126,7 +126,6 @@ def main() -> None:
                  "identity", "posterize", "rotate", "sharpness", "shear_x",
                  "shear_y", "solarize", "translate_x", "translate_y"]
         from endoscopy_tpu.ops import randaugment_kernel as rk
-        from jax.experimental import pallas as pl  # noqa: F401
 
         keep = {int(o) for o in args.ops.split(",") if o != ""}
         for opid, name in enumerate(names):
@@ -154,11 +153,6 @@ def main() -> None:
                                           lambda i, *_: (i, 0, 0, 0),
                                           memory_space=rk.pltpu.VMEM),
                 scratch_shapes=[rk.pltpu.VMEM((3, img, img), jnp.float32)],
-            )
-            call = rk.pl.pallas_call(
-                functools.partial(rk._kernel, n_slots=2, h=img, w=img, PAD=PAD),
-                out_shape=jax.ShapeDtypeStruct((1, 3, img, img), jnp.float32),
-                grid_spec=grid_spec,
             )
 
             @jax.jit
