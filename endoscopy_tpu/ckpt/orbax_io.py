@@ -83,7 +83,9 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     Async saves write the orbax state into a temp dir and atomically rename
     it to ``<dir>/state`` on finalize, while ``meta.json`` is written
     eagerly — so a crash mid-save leaves a directory with metadata but no
-    ``state``. Such incomplete checkpoints are skipped."""
+    ``state``. Such incomplete checkpoints are skipped; any save still in
+    flight in THIS process is flushed first."""
+    wait_until_finished()
     if not os.path.isdir(save_dir):
         return None
     best, best_n = None, -1

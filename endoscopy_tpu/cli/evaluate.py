@@ -59,7 +59,8 @@ def main(argv=None) -> None:
             _, _, probs = trainer._eval_step(
                 params, batch_stats, *trainer._shard(batch_u8, t, mask))
             keep = np.asarray(mask)
-            preds.append(np.asarray(probs).argmax(axis=1)[keep])
+            probs = trainer._fetch_batch_rows(probs, len(keep))
+            preds.append(probs.argmax(axis=1)[keep])
             targets.append(np.asarray(t)[keep])
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
