@@ -190,3 +190,35 @@ def test_evaluate_cli_e2e(dataset, tmp_path):
     # columns contract even when every sample is classified correctly
     if got is not None and len(got):
         assert set(got.columns) == {"path", "target", "pred"}
+
+
+def test_pseudo_label_cli_e2e(dataset, tmp_path):
+    """cli.pseudo_label drives ckpt load + thresholded pseudo-labels to CSV
+    (the stage-1 -> stage-2 real-SSL bridge, Train.ipynb cells 20-23)."""
+    import yaml
+
+    from endoscopy_tpu.cli import learn as learn_cli
+    from endoscopy_tpu.cli import pseudo_label as pl_cli
+    from endoscopy_tpu.ckpt.orbax_io import latest_checkpoint
+
+    img_root, anno_csv, unl_root, unanno_csv = dataset
+    cfg = make_config(img_root)
+    cfg.DATA.ANNO = anno_csv
+    cfg.DATA.UNANNO_PATH = unl_root
+    cfg.TRAIN.IS_SSL = False
+    cfg.TRAIN.USE_EMA = False
+    cfg.TRAIN.SAVE_CP = str(tmp_path / "cp")
+    cfg.TRAIN.FREQ_EVAL = 1
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({k: dict(v) for k, v in cfg.items()}, f)
+
+    learn_cli.main(["--config-1", str(cfg_path)])
+    ckpt = latest_checkpoint(cfg.TRAIN.SAVE_CP)
+    out = tmp_path / "pred.csv"
+    pl_cli.main(["--config", str(cfg_path), "--checkpoint", ckpt,
+                 "--unlabeled-csv", unanno_csv, "--out", str(out)])
+    got = pd.read_csv(out)
+    assert "pred" in got.columns and len(got) == len(pd.read_csv(unanno_csv))
+    # pred = argmax * [max_prob > THRES]: ints in class range or 0
+    assert got["pred"].between(0, cfg.MODEL.NUM_CLASSES - 1).all()
