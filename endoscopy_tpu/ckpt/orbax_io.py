@@ -49,7 +49,26 @@ def save_checkpoint(save_dir: str, name: str, state: Any,
     os.makedirs(save_dir, exist_ok=True)
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # one save in flight at a time
-    ckptr.save(os.path.join(path, "state"), state, force=True)
+    state_dir = os.path.join(path, "state")
+    if os.path.isdir(state_dir):
+        # Re-saving an already-complete epoch (happens on resume, which
+        # restarts AT the saved epoch). force=True would delete the old
+        # state before the async write is durable — a crash mid-save would
+        # then lose the only copy. Write to a sibling temp name, block,
+        # then swap atomically.
+        import shutil
+        tmp_dir = os.path.join(path, "state.resave")
+        old_dir = os.path.join(path, "state.old")
+        for d in (tmp_dir, old_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        ckptr.save(tmp_dir, state, force=True)
+        ckptr.wait_until_finished()
+        os.rename(state_dir, old_dir)
+        os.rename(tmp_dir, state_dir)
+        shutil.rmtree(old_dir)
+    else:
+        ckptr.save(state_dir, state, force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(metadata, f)
     if block:

@@ -165,14 +165,24 @@ class CanonicalLoader:
 class EvalLoader:
     """One deterministic pad-and-mask pass (SURVEY.md §7 hard parts: no
     ragged last batch — the final batch repeats row 0 with mask=False so the
-    compiled eval step keeps a single shape)."""
+    compiled eval step keeps a single shape).
+
+    cache=None (default) auto-caches under the same RAM bound as
+    CanonicalLoader — validation sets are re-read every eval epoch
+    (reference dataset.py:408-411 sequential valid loader), so decoding
+    once and serving numpy slices removes the per-eval-epoch decode cost;
+    cache=False forces streaming."""
 
     def __init__(self, manifest: Manifest, batch_size: int, size: int,
-                 num_workers: int = 2, cache: bool = False) -> None:
+                 num_workers: int = 2, cache: Optional[bool] = None,
+                 cache_limit_bytes: int = DEFAULT_CACHE_LIMIT_BYTES) -> None:
         self.manifest = manifest
         self.batch_size = int(batch_size)
         self.size = int(size)
         self._decoder = _Decoder(int(num_workers))
+        if cache is None:
+            est_bytes = len(manifest) * size * size * 3
+            cache = est_bytes <= cache_limit_bytes
         self._cache: Optional[np.ndarray] = None
         if cache and len(manifest):
             self._cache = self._decoder.decode_batch(manifest.paths, self.size)

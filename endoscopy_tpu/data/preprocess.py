@@ -107,7 +107,13 @@ def preprocess_tree(src_root: str, dst_root: str, min_edge: int = 336,
         os.makedirs(out_dir, exist_ok=True)
         for f in files:
             if f.lower().endswith((".jpg", ".jpeg", ".png")):
-                jobs.append((os.path.join(dirpath, f), os.path.join(out_dir, f)))
+                # cv2.imwrite picks the codec from the extension, so PNG
+                # inputs must be renamed to .jpg or the JPEG_QUALITY flag is
+                # silently ignored and the output tree is mixed-format.
+                out_f = (f if f.lower().endswith((".jpg", ".jpeg"))
+                         else os.path.splitext(f)[0] + ".jpg")
+                jobs.append((os.path.join(dirpath, f),
+                             os.path.join(out_dir, out_f)))
 
     def work(job) -> bool:
         src, dst = job

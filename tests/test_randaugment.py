@@ -170,3 +170,49 @@ def test_randaugment_pc_ops_match_pil(img):
     np.testing.assert_allclose(np.asarray(out), expect)
     # lookup tables consistent
     assert len(_PC_COLOR_LOOKUP) == len(_PC_IS_GEOMETRY) == 16
+
+
+@pytest.mark.parametrize("h,w", [(112, 112), (224, 224), (96, 128)])
+def test_geometry_shift_bounds_cover_max_magnitude(h, w):
+    """The analytic max_shift bounds passed to _shift_rows/_shift_cols
+    (randaugment.py apply_slot / apply_pc_slot) must dominate the actual
+    per-row shifts at the MAXIMUM magnitude for every geometric op and both
+    signs — _shift_rows silently clips (and corrupts) shifts beyond its
+    bound, so a future magnitude/op change that outgrows the bound must fail
+    here loudly (advisor finding, aug/ops.py:86)."""
+    from endoscopy_tpu.aug.randaugment import (
+        _OP_ROTATE, _OP_SHEAR_X, _OP_SHEAR_Y, _OP_TRANSLATE_X,
+        _OP_TRANSLATE_Y, _PC_ROTATE, _PC_SHEAR_X, _PC_SHEAR_Y,
+        _PC_TRANSLATE_X, _PC_TRANSLATE_Y, _geometry_shifts,
+        _pc_geometry_shifts)
+
+    m = 10
+    # MC: v <= m - 1 (randint(1, m) upper-exclusive); bound from apply_slot
+    bound = int((m - 1) * 0.3 / 10.0 * max(h, w)) + 2
+    for op in (_OP_ROTATE, _OP_SHEAR_X, _OP_SHEAR_Y, _OP_TRANSLATE_X,
+               _OP_TRANSLATE_Y):
+        for sign in (-1.0, 1.0):
+            shifts = _geometry_shifts(jnp.int32(op), jnp.float32(m - 1),
+                                      jnp.float32(sign), h, w)
+            worst = max(int(np.abs(np.asarray(s)).max()) for s in shifts)
+            assert worst <= bound, (op, sign, worst, bound)
+
+    # PC: v is fixed at m; bound from apply_pc_slot (translate max_v 0.45)
+    bound_pc = int(m * 0.45 / 10.0 * max(h, w)) + 2
+    for op in (_PC_ROTATE, _PC_SHEAR_X, _PC_SHEAR_Y, _PC_TRANSLATE_X,
+               _PC_TRANSLATE_Y):
+        for sign in (-1.0, 1.0):
+            shifts = _pc_geometry_shifts(jnp.int32(op), jnp.float32(m),
+                                         jnp.float32(sign), h, w)
+            worst = max(int(np.abs(np.asarray(s)).max()) for s in shifts)
+            assert worst <= bound_pc, (op, sign, worst, bound_pc)
+
+
+def test_rotate_max_degrees_bound_is_exact(img):
+    """ops.rotate's trimmed roll passes (max_degrees bound) must equal the
+    unbounded path at the extreme angle — the bound only trims work, never
+    changes pixels."""
+    for deg in (-30.0, 30.0):
+        bounded = ops.rotate(img, jnp.float32(deg), max_degrees=30.0)
+        full = ops.rotate(img, jnp.float32(deg), max_degrees=None)
+        np.testing.assert_array_equal(np.asarray(bounded), np.asarray(full))
