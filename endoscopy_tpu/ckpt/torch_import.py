@@ -93,6 +93,25 @@ _ARCHES: Dict[str, Tuple[List[Tuple[str, Any]], List[str]]] = {
          r"relative_position_index$", r"attn_mask$",
          r"^absolute_pos_embed$"],
     ),
+    # MSR SwinMLP (reference models/swin_mlp.py:66-183, offered via timm in
+    # build.py:64-67): Swin topology with a grouped 1x1 Conv1d spatial MLP
+    # per block. Same structural renames as swin; the spatial_mlp leaves get
+    # an element-count reshape (see _RESHAPE_PATHS): torch weight
+    # (heads*ws², ws², 1) → flax per-head (heads, ws², ws²), bias
+    # (heads*ws²,) → (heads, ws²) — group g's rows are contiguous in the
+    # grouped-conv channel axis, so a plain reshape is the exact layout.
+    "swin_mlp": (
+        [
+            (r"^patch_embed\.proj", r"patch_embed"),
+            (r"^patch_embed\.norm", r"patch_norm"),
+            (r"^layers\.(\d+)\.blocks\.(\d+)\.", r"stage\1_block\2."),
+            (r"^layers\.(\d+)\.downsample\.", r"merge\1."),
+            (r"\.mlp\.fc1", r".mlp_fc1"),
+            (r"\.mlp\.fc2", r".mlp_fc2"),
+        ],
+        [r"^head\b", r"^fc1\b", r"^fc2\b", r"^bn\b",
+         r"^absolute_pos_embed$"],
+    ),
     # reference models/conformer.py — flax module names match 1:1
     "conformer": (
         [],
@@ -128,6 +147,14 @@ _ARCHES: Dict[str, Tuple[List[Tuple[str, Any]], List[str]]] = {
     ),
 }
 
+# Renamed module paths whose torch values are the SAME elements in a
+# different factorization: import by reshaping to the flax param's shape
+# (element counts must match). Keyed by arch; matched against the renamed
+# module path's last component.
+_RESHAPE_PATHS: Dict[str, re.Pattern] = {
+    "swin_mlp": re.compile(r"^spatial_mlp$"),
+}
+
 # torch ModelwEmb checkpoints alias every backbone param twice:
 # 'model.<key>' (the timm model) and 'backbone.<idx>.<key>' (the
 # nn.Sequential(children) view, custom_model.py:200). The numeric-Sequential
@@ -143,9 +170,7 @@ def arch_for_model(name: str) -> str:
     if name.startswith("densenet"):
         return "densenet"
     if name.startswith("swin_mlp"):
-        raise NotImplementedError(
-            "torch weight import for swin_mlp is not implemented; train from "
-            "scratch or use an orbax checkpoint")
+        return "swin_mlp"
     if name.startswith("swin"):
         return "swin"
     if name == "conformer":
@@ -171,7 +196,8 @@ class ImportReport:
                 f"{len(self.unmapped)} unmapped")
 
 
-def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> str:
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray,
+         reshape: bool = False) -> str:
     node = tree
     for p in path[:-1]:
         if not isinstance(node, dict) or p not in node:
@@ -181,7 +207,10 @@ def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> str:
         return "missing"
     expected = node[path[-1]]
     if tuple(expected.shape) != tuple(value.shape):
-        return "shape"
+        if reshape and value.size == np.asarray(expected).size:
+            value = value.reshape(expected.shape)
+        else:
+            return "shape"
     node[path[-1]] = value.astype(np.asarray(expected).dtype)
     return "ok"
 
@@ -238,7 +267,12 @@ def import_torch_state(
             prefix = re.sub(pat, repl, prefix)
 
         path = tuple(p for p in prefix.split(".") if p)
-        if leaf == "weight":
+        reshape_re = _RESHAPE_PATHS.get(arch)
+        if reshape_re is not None and path and reshape_re.match(path[-1]):
+            # same elements, different factorization (e.g. grouped Conv1d →
+            # per-head tensor): leaf name carries over, value reshapes
+            status = _set(p_root, path + (leaf,), value, reshape=True)
+        elif leaf == "weight":
             if value.ndim == 4:
                 status = _set(p_root, path + ("kernel",), _t_conv(value))
             elif value.ndim == 2:

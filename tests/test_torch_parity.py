@@ -211,6 +211,34 @@ def test_swin_forward_parity(rng):
                         atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_swin_mlp_forward_parity(rng):
+    """SwinMLP trunk vs the reference's MSR copy (swin_mlp.py:348-471):
+    the grouped-Conv1d spatial MLP imports as a per-head reshape; pooled
+    features compared. Stage 0 (14x14, ws 7) exercises the shifted
+    zero-pad block; stage 1 (7x7) the no-partition fallback."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.swin_mlp import SwinMLP as FlaxSwinMLP
+
+    ref = _ref_module("swin_mlp")
+    tmodel = ref.SwinMLP(
+        img_size=56, patch_size=4, in_chans=3, num_classes=5, embed_dim=24,
+        depths=[2, 2], num_heads=[2, 4], window_size=7, mlp_ratio=2.0,
+        drop_rate=0.0, drop_path_rate=0.0, ape=False, patch_norm=True)
+    _randomize(tmodel)
+
+    fmodel = FlaxSwinMLP(patch_size=4, embed_dim=24, depths=(2, 2),
+                         num_heads=(2, 4), window_size=7, mlp_ratio=2.0,
+                         dtype=jnp.float32)
+    x = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    # reference swaps the head for fc1/fc2 (swin_mlp.py:424-425), which the
+    # importer skips; compare trunk features
+    _import_and_compare(fmodel, tmodel, "swin_mlp", x,
+                        lambda m, t: m.forward_features(t),
+                        atol=5e-4, rtol=5e-3)
+
+
 class _TorchDenseLayer(torch.nn.Module):
     """Minimal torch DenseNet oracle with torchvision state_dict naming
     (the reference's timm densenet161, build.py:180-194; timm reuses
