@@ -15,7 +15,7 @@ pytestmark = pytest.mark.slow  # heavy tier
 from endoscopy_tpu.data.synthetic import make_synthetic_dataset
 
 
-def test_capsule_ezbm_transfer_cli(tmp_path):
+def test_capsule_ezbm_transfer_cli(tmp_path, capsys):
     from endoscopy_tpu.cli import learn as learn_cli
 
     # 11-class synthetic set with the capsule CSV schema (column 'path')
@@ -58,4 +58,18 @@ def test_capsule_ezbm_transfer_cli(tmp_path):
                   "STEPS_PER_CALL": 1, "MESH_DATA": 1, "SAVE_CP": ""}}
     p2 = str(tmp_path / "capsule.yaml")
     yaml.safe_dump(capsule_yaml, open(p2, "w"))
+    capsys.readouterr()  # drop donor-stage output
     learn_cli.main(["--config-1", p2, "--trainer", "ezbm"])
+
+    # capability, not just wiring: the per-epoch stage-1 train losses must
+    # DECREASE and every eval macro-F1 must be finite (EZBM.fit prints
+    # "s{1,2} ep N: train L valid V F1 F" per eval epoch; ezbm.py:364-411)
+    import re
+
+    out = capsys.readouterr().out
+    s1 = [float(v) for v in
+          re.findall(r"s1 ep \d+: train ([0-9.]+)", out)]
+    assert len(s1) >= 2, out
+    assert s1[-1] < s1[0], f"EZBM stage-1 loss did not decrease: {s1}"
+    f1s = [float(v) for v in re.findall(r"F1 ([0-9.]+)", out)]
+    assert f1s and all(np.isfinite(f1s)), out
