@@ -148,6 +148,7 @@ _DEFAULTS: dict = {
         "SEED": 42,
         "STEPS_PER_CALL": 8,  # train steps fused per dispatch (lax.scan)
         "LOG_DIR": "",
+        "USE_WANDB": False,  # mirror scalars to wandb (supervised.py:337-343)
     },
 }
 

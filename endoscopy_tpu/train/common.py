@@ -310,8 +310,12 @@ class BaseTrainer:
     def _metric_logger(self):
         if not hasattr(self, "_logger"):
             from endoscopy_tpu.utils.logging import MetricLogger
-            self._logger = MetricLogger(self.config.TRAIN.get("LOG_DIR"),
-                                        run_name=self.trainer_name.lower())
+            self._logger = MetricLogger(
+                self.config.TRAIN.get("LOG_DIR"),
+                run_name=self.trainer_name.lower(),
+                # wandb scalar mirroring (supervised.py:337-343); optional —
+                # silently JSONL-only when wandb isn't importable
+                use_wandb=bool(self.config.TRAIN.get("USE_WANDB", False)))
         return self._logger
 
     def _images_per_step(self) -> int:
