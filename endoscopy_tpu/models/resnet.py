@@ -123,6 +123,12 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     attn: Optional[str] = None       # 'cbam' | 'sa' gate per block
     sasa_stages: Sequence[int] = ()  # stage indices whose 3x3 becomes SASA
+    # jax.checkpoint each bottleneck: save only block boundaries, recompute
+    # the inner conv/BN activations in the backward pass. Trades ~1 extra
+    # forward of FLOPs for lower activation residency — a memory knob, not a
+    # bandwidth one (measured neutral-to-slower at 112px/B=480 where HBM
+    # traffic, not capacity, binds; see PERF.md). Off by default.
+    remat: bool = False
 
     num_features: int = 2048  # informational; 512 * expansion
 
@@ -141,10 +147,11 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if (stage > 0 and block == 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     filters=self.num_filters * (2 ** stage),
                     strides=strides,
                     use_se=self.use_se,
@@ -161,8 +168,8 @@ class ResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-def resnet50(dtype=jnp.bfloat16) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+def resnet50(dtype=jnp.bfloat16, remat=False) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, remat=remat)
 
 
 def resnet101(dtype=jnp.bfloat16) -> ResNet:
