@@ -85,6 +85,7 @@ def test_sample_protocol_all_loaders(tmp_path):
     native.close()
 
 
+@pytest.mark.slow  # full triplet-training e2e through the C++ loader ≈ 40 s
 def test_triplet_training_with_streaming_and_native_loader(tmp_path):
     """MODEL.IS_TRIPLET trains through loaders without a RAM cache
     (VERDICT weak-6: used to crash on loader internals)."""

@@ -80,11 +80,13 @@ def _tiny_fixmatch_trainer(mesh_data, mesh_model, seed=5, emb=False):
     return trainer, cfg
 
 
+@pytest.mark.slow
 def test_dp_equivalence_8dev_vs_1dev():
     """One FixMatch step on mesh(8,1) vs mesh(1,1) from identical state and
-    batch produces the same loss and params — the strongest cheap
-    correctness check for the DP sharding design (global-batch semantics,
-    SURVEY.md §2.3)."""
+    batch produces the same loss and params — the strongest correctness
+    check for the DP sharding design (global-batch semantics, SURVEY.md
+    §2.3). Slow tier: two trainer compiles ≈ 54 s on the 1-core host; the
+    fast tier keeps the cheap mesh/sharding-spec tests above."""
     rng = np.random.default_rng(0)
     size = int(32 * 1.2)
     x_lb = rng.integers(0, 255, (8, size, size, 3)).astype(np.uint8)

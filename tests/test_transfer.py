@@ -144,6 +144,8 @@ def test_progressive_resize_carries_parameters(dataset):
         np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
 
 
+@pytest.mark.slow  # two-stage CLI run ≈ 54 s; the unit-level carry test
+# above stays in the fast tier
 def test_cli_progressive_resizing_end_to_end(dataset, tmp_path, monkeypatch):
     """python -m endoscopy_tpu.cli.learn --config-1 a.yaml --config-2 b.yaml
     runs both stages and threads the carry (cli/learn.py:main)."""
