@@ -110,7 +110,15 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     best, best_n = None, -1
     for d in os.listdir(save_dir):
         m = re.fullmatch(r"epoch_(\d+)", d)
-        if (m and int(m.group(1)) > best_n
-                and os.path.isdir(os.path.join(save_dir, d, "state"))):
+        if not m:
+            continue
+        state_dir = os.path.join(save_dir, d, "state")
+        old_dir = os.path.join(save_dir, d, "state.old")
+        if not os.path.isdir(state_dir) and os.path.isdir(old_dir):
+            # crash landed between the two renames of a re-save swap
+            # (save_checkpoint): the previous durable state is still in
+            # state.old — promote it back
+            os.rename(old_dir, state_dir)
+        if int(m.group(1)) > best_n and os.path.isdir(state_dir):
             best, best_n = os.path.join(save_dir, d), int(m.group(1))
     return best
