@@ -41,6 +41,40 @@ import numpy as np
 
 A100_REFERENCE_IMGS_PER_SEC = 700.0  # estimated; see module docstring
 
+V5E_HBM_GBPS = 819.0       # v5e HBM bandwidth
+V5E_BF16_TFLOPS = 197.0    # v5e bf16 peak
+
+
+def _cost_per_step(jitfn, args):
+    """XLA's own cost analysis of the EXACT compiled SINGLE-step program:
+    (flops, bytes accessed). Always pass the single-step jit, not the
+    lax.scan multi-step dispatch — XLA counts a while-loop body ONCE
+    regardless of trip count, which silently divides the numbers by K
+    (measured: the k=8 multi program reports ~1/8 of the single-step
+    program's flops/bytes). Validated against analytic ResNet-50 FLOPs:
+    XLA reports 2.90 TF for the 480-image 112px fwd+bwd step vs 2.95 TF
+    analytic (480 x 6.15 GFLOP). Returns (None, None) if the backend does
+    not expose cost analysis."""
+    try:
+        ca = jitfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"]), float(ca["bytes accessed"])
+    except Exception as exc:  # relay/backend without cost analysis
+        print(f"cost_analysis unavailable: {exc}", file=sys.stderr)
+        return None, None
+
+
+def _roofline_cols(step_ms, flops_step, bytes_step):
+    """MFU + measured-roofline columns for BENCH_TABLE.md."""
+    if flops_step is None:
+        return "—", "—", "—"
+    mfu = flops_step / (step_ms * 1e-3) / (V5E_BF16_TFLOPS * 1e12)
+    hbm_floor_ms = bytes_step / (V5E_HBM_GBPS * 1e9) * 1e3
+    mxu_floor_ms = flops_step / (V5E_BF16_TFLOPS * 1e12) * 1e3
+    headroom = step_ms / max(hbm_floor_ms, mxu_floor_ms)
+    return f"{100 * mfu:.1f}%", f"{hbm_floor_ms:.1f}", f"{headroom:.2f}x"
+
 
 def _mk_cfg(model: str, img: int, b: int, mu: int, type_semi: str):
     from endoscopy_tpu.config.loader import default_config
@@ -86,7 +120,8 @@ def _timed(run_calls, barrier, calls: int) -> float:
 
 
 def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
-                 mu: int = 7, k: int = 8, calls: int = 5) -> float:
+                 mu: int = 7, k: int = 8, calls: int = 5,
+                 with_cost: bool = False):
     """FixMatch dual-view fused step (fixmatch.py:107-127 semantics)."""
     import jax
     import jax.numpy as jnp
@@ -112,11 +147,19 @@ def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
 
     dt = _timed(run, lambda: float(box["loss"][-1]), calls)
     steps = calls * 2 * k
-    return b * (1 + 2 * mu) * steps / dt / len(jax.devices())
+    ips = b * (1 + 2 * mu) * steps / dt / len(jax.devices())
+    if not with_cost:
+        return ips
+    flops, bts = _cost_per_step(
+        trainer._train_step,
+        (box["state"], *trainer._shard(xk[0], tk[0], uk[0]), weights,
+         trainer._next_rng()))
+    return ips, dt / steps * 1e3, flops, bts
 
 
 def row_comatch(model: str = "resnet50", img: int = 112, b: int = 32,
-                mu: int = 5, k: int = 8, calls: int = 5) -> float:
+                mu: int = 5, k: int = 8, calls: int = 5,
+                with_cost: bool = False):
     """CoMatch 4-view fused step incl. queue/DA state (comatch.py:107-237)."""
     import jax
     import jax.numpy as jnp
@@ -144,11 +187,19 @@ def row_comatch(model: str = "resnet50", img: int = 112, b: int = 32,
 
     dt = _timed(run, lambda: float(box["loss"][-1]), calls)
     steps = calls * 2 * k
-    return b * (1 + 3 * mu) * steps / dt / len(jax.devices())
+    ips = b * (1 + 3 * mu) * steps / dt / len(jax.devices())
+    if not with_cost:
+        return ips
+    flops, bts = _cost_per_step(
+        trainer._train_step,
+        (box["s"], box["c"], *trainer._shard(xk[0], tk[0], uk[0]), weights,
+         jnp.asarray(True), trainer._next_rng()))
+    return ips, dt / steps * 1e3, flops, bts
 
 
 def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
-                   calls: int = 3, steps_per_call: int = 4) -> float:
+                   calls: int = 3, steps_per_call: int = 4,
+                   with_cost: bool = False):
     """SemiFormer FixMatch phase on dual-head Conformer-Ti
     (semiformer.py:119-133; config kaggle_semisupervised_real_2.yaml dims)."""
     import jax
@@ -173,11 +224,18 @@ def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
                 box["state"], sx, st, su, weights, trainer._next_rng())
 
     dt = _timed(run, lambda: float(box["loss"]), calls)
-    return b * (1 + 2 * mu) * calls * steps_per_call / dt / len(jax.devices())
+    steps = calls * steps_per_call
+    ips = b * (1 + 2 * mu) * steps / dt / len(jax.devices())
+    if not with_cost:
+        return ips
+    flops, bts = _cost_per_step(
+        trainer._fixmatch_step,
+        (box["state"], sx, st, su, weights, trainer._next_rng()))
+    return ips, dt / steps * 1e3, flops, bts
 
 
 def row_supervised(model: str = "swin", img: int = 224, b: int = 64,
-                   k: int = 8, calls: int = 5) -> float:
+                   k: int = 8, calls: int = 5, with_cost: bool = False):
     """Supervised labeled-view step (supervised.py:121-136)."""
     import jax
     import jax.numpy as jnp
@@ -202,41 +260,77 @@ def row_supervised(model: str = "swin", img: int = 224, b: int = 64,
             box["loss"] = losses
 
     dt = _timed(run, lambda: float(box["loss"][-1]), calls)
-    return b * calls * 2 * k / dt / len(jax.devices())
+    steps = calls * 2 * k
+    ips = b * steps / dt / len(jax.devices())
+    if not with_cost:
+        return ips
+    flops, bts = _cost_per_step(
+        trainer._train_step,
+        (box["state"], *trainer._shard(xk[0], tk[0]), weights,
+         trainer._next_rng()))
+    return ips, dt / steps * 1e3, flops, bts
 
 
 TABLE_ROWS = [
-    # (name, unit-description, fn)
+    # (name, unit-description, fn) — covers every default backbone family in
+    # the reference configs: resnet50, conformer, swin, densenet161,
+    # efficientnet_b1 (grep NAME /root/reference/code/configs/*.yaml)
     ("fixmatch_resnet50_112", "ResNet-50 112px B=32 MU=7 (flagship)",
-     lambda: row_fixmatch("resnet50", 112, 32, 7)),
+     lambda: row_fixmatch("resnet50", 112, 32, 7, with_cost=True)),
     ("fixmatch_resnet50_224", "ResNet-50 224px B=32 MU=7 (progressive stage 2)",
-     lambda: row_fixmatch("resnet50", 224, 32, 7, k=4, calls=4)),
+     lambda: row_fixmatch("resnet50", 224, 32, 7, k=4, calls=4, with_cost=True)),
     ("comatch_resnet50_112", "CoMatch 4-view ResNet-50 112px B=32 MU=5",
-     lambda: row_comatch("resnet50", 112, 32, 5)),
+     lambda: row_comatch("resnet50", 112, 32, 5, with_cost=True)),
     ("semiformer_conformer_224", "Conformer-Ti dual-head 224px B=32 MU=6",
-     lambda: row_semiformer(224, 32, 6)),
+     lambda: row_semiformer(224, 32, 6, with_cost=True)),
     ("supervised_swin_224", "Swin-T 224px B=64 labeled view",
-     lambda: row_supervised("swin", 224, 64, k=4, calls=4)),
+     lambda: row_supervised("swin", 224, 64, k=4, calls=4, with_cost=True)),
+    ("supervised_densenet161_224", "DenseNet-161 224px B=32 labeled view "
+     "(kaggle_supervised_patho.yaml)",
+     lambda: row_supervised("densenet161", 224, 32, k=4, calls=4,
+                            with_cost=True)),
+    ("supervised_efficientnet_b1_224", "EfficientNet-B1 224px B=32 labeled "
+     "view (kaggle_supervised_abnorm.yaml)",
+     lambda: row_supervised("efficientnet_b1", 224, 32, k=4, calls=4,
+                            with_cost=True)),
 ]
 
 
 def run_table() -> dict:
-    results = {}
+    results, rows_md = {}, {}
     for name, desc, fn in TABLE_ROWS:
         try:
-            v = fn()
-            results[name] = round(float(v), 1)
-            print(f"{name:28s} {v:9.1f} img/s/chip   ({desc})",
-                  file=sys.stderr, flush=True)
+            out = fn()
+            ips, step_ms, flops, bts = (
+                out if isinstance(out, tuple) else (out, None, None, None))
+            results[name] = round(float(ips), 1)
+            if step_ms is not None:
+                mfu, floor, headroom = _roofline_cols(step_ms, flops, bts)
+                rows_md[name] = (f"{results[name]} | {step_ms:.1f} | {mfu} | "
+                                 f"{floor} | {headroom}")
+                print(f"{name:32s} {ips:9.1f} img/s/chip  {step_ms:7.1f} ms  "
+                      f"MFU {mfu}  HBM-floor {floor} ms  headroom {headroom}"
+                      f"   ({desc})", file=sys.stderr, flush=True)
+            else:
+                rows_md[name] = f"{results[name]} | — | — | — | —"
+                print(f"{name:32s} {ips:9.1f} img/s/chip   ({desc})",
+                      file=sys.stderr, flush=True)
         except Exception as exc:  # keep the table going; record the failure
             results[name] = f"error: {exc}"
-            print(f"{name:28s} ERROR: {exc}", file=sys.stderr, flush=True)
+            rows_md[name] = f"error: {exc} | — | — | — | —"
+            print(f"{name:32s} ERROR: {exc}", file=sys.stderr, flush=True)
     with open("BENCH_TABLE.md", "w") as f:
-        f.write("# Bench table (images/sec/chip, evolving-state loops, "
-                "host-fetch barriers)\n\n| row | img/s/chip | path |\n"
-                "|---|---|---|\n")
+        f.write(
+            "# Bench table (images/sec/chip, evolving-state loops, host-fetch "
+            "barriers)\n\nMFU/floor columns from `Compiled.cost_analysis()` "
+            "of the exact program: MFU = flops/step-time vs 197 TFLOP/s bf16 "
+            "peak; HBM floor = bytes-accessed / 819 GB/s; headroom = "
+            "step-time / max(HBM floor, MXU floor) — the measured "
+            "speed-of-light multiple (1.0x = roofline).\n\n"
+            "| row | img/s/chip | ms/step | MFU | HBM floor ms | headroom | "
+            "path |\n|---|---|---|---|---|---|---|\n")
         for name, desc, _ in TABLE_ROWS:
-            f.write(f"| {name} | {results[name]} | {desc} |\n")
+            f.write(f"| {name} | {rows_md[name]} | {desc} |\n")
     return results
 
 
