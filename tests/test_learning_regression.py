@@ -147,3 +147,65 @@ def test_ezbm_improves_macro_f1(dataset):
     assert f1_after > f1_before or f1_after >= 0.9, (
         f"EZBM did not improve: {f1_before} -> {f1_after}")
     assert f1_after >= 0.5, f"EZBM final macro-F1 too low: {f1_after}"
+
+
+def test_comatch_reaches_macro_f1(dataset):
+    """CoMatch mock-SSL must reach macro-F1 >= 0.9 within 10 epochs through
+    the full 4-view + queue/DA + contrastive pipeline (comatch.py:107-237).
+    Same miniature-EMA note as the FixMatch test."""
+    from endoscopy_tpu.train.comatch import CoMatch
+
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"TRAIN.IS_SSL": True,
+                                   "TRAIN.EVAL_STEP": 8,
+                                   "TRAIN.EMA_DECAY": 0.9,
+                                   "MODEL.TYPE_SEMI": "CoMatch",
+                                   "MODEL.LOW_DIM": 16})
+    df = pd.read_csv(anno_csv)
+    labeled, unlabeled, valid, _ = build_ssl_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = CoMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        (CanonicalLoader(labeled, cfg.DATA.BATCH_SIZE, size, seed=0),
+         CanonicalLoader(unlabeled, cfg.DATA.BATCH_SIZE * cfg.DATA.MU, size,
+                         seed=1)),
+        EvalLoader(valid, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, labeled_targets=labeled.targets)
+
+    best = _best_f1_over_epochs(trainer, max_epochs=10, target=0.9)
+    assert best >= 0.9, f"CoMatch stopped learning: best macro-F1 {best}"
+
+
+def test_semiformer_reaches_macro_f1(dataset):
+    """SemiFormer (dual-head tiny Conformer) must reach macro-F1 >= 0.8
+    within 12 epochs: warmup phase trains both heads supervised, then the
+    conv-head pseudo-labels drive the FixMatch phase (semiformer.py:72-133);
+    eval sums both heads' softmax (semiformer.py:171-188)."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.conformer import Conformer
+    from endoscopy_tpu.train.semiformer import SemiFormer
+
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"TRAIN.IS_SSL": True,
+                                   "TRAIN.EVAL_STEP": 8,
+                                   "TRAIN.EVAL_STEP_SUP": 3,
+                                   "TRAIN.EMA_DECAY": 0.9,
+                                   "MODEL.TYPE_SEMI": "SemiFormer"})
+    cfg.DATA.IMG_SIZE = 64  # patch-16 tokenization needs a few tokens
+    df = pd.read_csv(anno_csv)
+    labeled, unlabeled, valid, _ = build_ssl_manifests(cfg, df)
+    size = canonical_size(cfg)
+    model = Conformer(num_classes=4, patch_size=16, channel_ratio=1,
+                      embed_dim=24, depth=3, num_heads=2, mlp_ratio=2.0,
+                      dtype=jnp.float32)
+    trainer = SemiFormer(model=model, opt_func="Adam")
+    trainer.get_dataloader(
+        (CanonicalLoader(labeled, cfg.DATA.BATCH_SIZE, size, seed=0),
+         CanonicalLoader(unlabeled, cfg.DATA.BATCH_SIZE * cfg.DATA.MU, size,
+                         seed=1)),
+        EvalLoader(valid, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, labeled_targets=labeled.targets)
+
+    best = _best_f1_over_epochs(trainer, max_epochs=12, target=0.8)
+    assert best >= 0.8, f"SemiFormer stopped learning: best macro-F1 {best}"
