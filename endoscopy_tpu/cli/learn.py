@@ -104,14 +104,21 @@ def make_trainer(config, model, trainer_override=None):
     return SupLearning(model=model, opt_func=config.TRAIN.OPT_NAME)
 
 
-def run_config(config, model=None, trainer_override=None, carry_state=None):
+def run_config(config, model=None, trainer_override=None, carry_state=None,
+               preview=None):
     """One training stage. ``carry_state=(params, batch_stats)`` threads the
     previous progressive-resizing stage's weights into this stage
     (learn.py:40-55: the model is built once; stage 2 trains the SAME
-    weights at the new image size)."""
+    weights at the new image size). ``preview`` saves a one-batch
+    augmentation-view grid PNG before training (the reference renders it
+    inline on every run, learn.py:51; headless TPU pods opt in via a path)."""
     type_semi = config.MODEL.TYPE_SEMI
     train_dl, valid_dl, cls_num_list, labeled_targets = build_data(
         config, type_semi)
+    if preview:
+        from endoscopy_tpu.eval.visualize import preview_views
+        preview_views(config, train_dl, save_path=preview)
+        print(f"augmentation preview saved to {preview}")
     if model is None:
         model = build_model(config)
     trainer = make_trainer(config, model, trainer_override)
@@ -140,6 +147,9 @@ def main(argv=None) -> None:
                         help="second stage for progressive resizing")
     parser.add_argument("--trainer", default=None, choices=[None, "ezbm"],
                         help="override trainer dispatch (e.g. EZBM two-stage)")
+    parser.add_argument("--preview", default=None, metavar="PATH.png",
+                        help="save a one-batch augmentation-view grid before "
+                             "training (reference learn.py:51 is_visual)")
     args = parser.parse_args(argv)
 
     configs = [get_config(args.config_1)]
@@ -150,9 +160,13 @@ def main(argv=None) -> None:
     carry_state = None
     for idx, config in enumerate(configs):
         print(f"=== stage {idx} | IMG_SIZE={config.DATA.IMG_SIZE} ===")
+        preview = args.preview
+        if preview and len(configs) > 1:
+            preview = preview.replace(".png", f"_stage{idx}.png")
         trainer, model = run_config(config, model=model,
                                     trainer_override=args.trainer,
-                                    carry_state=carry_state)
+                                    carry_state=carry_state,
+                                    preview=preview)
         # progressive resizing carries the trained weights (learn.py:53-55)
         carry_state = (trainer.state.params, trainer.state.batch_stats)
 

@@ -72,6 +72,62 @@ def show_grid(images: Sequence[np.ndarray], save_path: Optional[str] = None):
     return imgs
 
 
+def preview_views(config, train_dl, save_path: Optional[str] = None,
+                  seed: int = 0):
+    """One-batch augmentation preview at data-build time (reference
+    dataset.py:361-368, 389-397, 427-441; learn.py:51 enables it on every
+    run). TPU-native twist: views are derived on device from the canonical
+    uint8 batch, so the preview runs the exact jitted view functions the
+    trainer uses.
+
+    SSL: renders [labeled-train, weak, strong] (FixMatch/SemiFormer) or
+    [labeled-train, weak, strong0, strong1] (CoMatch) for the first sample.
+    Supervised: first 4 train-view samples, or [anchor, positive, negative]
+    when MODEL.IS_TRIPLET (dataset.py:434-437). Returns the de-normalized
+    image list (the show_grid contract).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.aug import views as V
+
+    size = int(config.DATA.IMG_SIZE)
+    key = jax.random.PRNGKey(seed)
+    if config.TRAIN.IS_SSL:
+        lab_dl, unl_dl = train_dl
+        lab_u8, _ = next(iter(lab_dl))
+        unl_u8, _ = next(iter(unl_dl))
+        k_lab, k_unl = jax.random.split(key)
+        lab = V.labeled_train_view(jnp.asarray(lab_u8[:1]), k_lab, size)
+        if config.MODEL.TYPE_SEMI == "CoMatch":
+            w, s0, s1 = V.comatch_views(jnp.asarray(unl_u8[:1]), k_unl, size)
+            imgs = [lab[0], w[0], s0[0], s1[0]]
+        else:
+            w, s = V.fixmatch_views(jnp.asarray(unl_u8[:1]), k_unl, size)
+            imgs = [lab[0], w[0], s[0]]
+    else:
+        batch_u8, targets = next(iter(train_dl))
+        if config.MODEL.IS_TRIPLET and hasattr(train_dl, "sample"):
+            # anchor/pos/neg of the first sample via the loader's
+            # random-access protocol (mirrors dataset.py:279-306 sampling)
+            t = np.asarray(train_dl.manifest.targets)
+            rng = np.random.default_rng(seed)
+            pos_pool = np.flatnonzero(t == targets[0])
+            neg_pool = np.flatnonzero(t != targets[0])
+            if len(neg_pool) == 0:
+                neg_pool = pos_pool
+            pair = train_dl.sample(np.array(
+                [rng.choice(pos_pool), rng.choice(neg_pool)]))
+            trio = np.concatenate([batch_u8[:1], pair], axis=0)
+            out = V.labeled_train_view(jnp.asarray(trio), key, size)
+            imgs = [out[0], out[1], out[2]]
+        else:
+            n = min(4, batch_u8.shape[0])
+            out = V.labeled_train_view(jnp.asarray(batch_u8[:n]), key, size)
+            imgs = [out[i] for i in range(n)]
+    return show_grid([np.asarray(im) for im in imgs], save_path=save_path)
+
+
 def show_triplet_dist(d_ap, d_an, save_path: Optional[str] = None):
     """Anchor-positive vs anchor-negative distance histograms
     (utils.py:157-173); returns (d_ap, d_an) arrays."""

@@ -222,3 +222,36 @@ def test_pseudo_label_cli_e2e(dataset, tmp_path):
     assert "pred" in got.columns and len(got) == len(pd.read_csv(unanno_csv))
     # pred = argmax * [max_prob > THRES]: ints in class range or 0
     assert got["pred"].between(0, cfg.MODEL.NUM_CLASSES - 1).all()
+
+
+def test_preview_views_ssl_and_triplet(dataset, tmp_path):
+    """preview_views renders the reference's is_visual one-batch grids
+    (dataset.py:361-368, 427-437; learn.py:51) from the on-device view fns:
+    SSL FixMatch -> 3 images, CoMatch -> 4, supervised triplet -> 3."""
+    from endoscopy_tpu.cli.learn import build_data
+    from endoscopy_tpu.eval.visualize import preview_views
+
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root)
+    cfg.DATA.ANNO = anno_csv
+    cfg.DATA.MOCKUP_SSL = True
+    cfg.TRAIN.IS_SSL = True
+    cfg.MODEL.TYPE_SEMI = "FixMatch"
+
+    train_dl, _, _, _ = build_data(cfg, "FixMatch")
+    out = tmp_path / "prev_fm.png"
+    imgs = preview_views(cfg, train_dl, save_path=str(out))
+    assert len(imgs) == 3
+    assert all(np.isfinite(im).all() and im.shape[:2] == (IMG, IMG)
+               for im in imgs)
+
+    cfg.MODEL.TYPE_SEMI = "CoMatch"
+    train_dl, _, _, _ = build_data(cfg, "CoMatch")
+    imgs = preview_views(cfg, train_dl)
+    assert len(imgs) == 4
+
+    cfg.TRAIN.IS_SSL = False
+    cfg.MODEL.IS_TRIPLET = True
+    train_dl, _, _, _ = build_data(cfg)
+    imgs = preview_views(cfg, train_dl, save_path=str(tmp_path / "prev_t.png"))
+    assert len(imgs) == 3

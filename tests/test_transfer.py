@@ -158,12 +158,12 @@ def test_cli_progressive_resizing_end_to_end(dataset, tmp_path, monkeypatch):
     real_carry = learn_cli.run_config
 
     def spy_run_config(config, model=None, trainer_override=None,
-                       carry_state=None):
+                       carry_state=None, **kw):
         if carry_state is not None:
             carried["state"] = carry_state
         return real_carry(config, model=model,
                           trainer_override=trainer_override,
-                          carry_state=carry_state)
+                          carry_state=carry_state, **kw)
 
     monkeypatch.setattr(learn_cli, "run_config", spy_run_config)
 
