@@ -366,3 +366,7 @@ class BaseTrainer:
                 logger.log({"loss/valid": valid_loss.avg,
                             "metric/macro_f1": float(valid_metric["macro/f1"])},
                            epoch=epoch)
+        # fit() returns with every async checkpoint save durable; exiting the
+        # process mid-save races interpreter shutdown inside orbax's commit
+        # threads (asyncio default executor already torn down).
+        orbax_io.wait_until_finished()

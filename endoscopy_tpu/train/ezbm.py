@@ -293,6 +293,8 @@ class EZBM(BaseTrainer):
                                                      save=True)
                 print(f"s2 ep {epoch}: train {loss.avg:.3f} valid {vl.avg:.3f} "
                       f"F1 {vm['macro/f1']:.4f}")
+        from endoscopy_tpu.ckpt import orbax_io
+        orbax_io.wait_until_finished()  # saves durable before fit() returns
 
     def _update_best(self, valid_loss, valid_metric, count_early_stop,
                      save: bool) -> int:

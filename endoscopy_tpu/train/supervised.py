@@ -316,3 +316,5 @@ class SupLearning(BaseTrainer):
                     if self.config.TRAIN.get("SAVE_CP"):
                         self.save_checkpoint(self.config.TRAIN.SAVE_CP)
                 print(f"\tValid Loss: {valid_loss.avg:.3f} | macro-F1: {f1:.4f}")
+        from endoscopy_tpu.ckpt import orbax_io
+        orbax_io.wait_until_finished()  # saves durable before fit() returns

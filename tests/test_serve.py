@@ -1,0 +1,167 @@
+"""Serving subsystem: AOT export (jax.export) of the eval forward.
+
+The artifact must be self-contained (weights baked in), batch-size-symbolic,
+numerically identical to the trainers' eval path, and must select EMA
+weights when the checkpoint carries them (fixmatch.py:137-140 eval-on-EMA).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier
+
+from endoscopy_tpu.config.loader import default_config
+from endoscopy_tpu.data.synthetic import make_synthetic_dataset
+
+IMG = 32
+
+
+def make_config(img_root, **overrides):
+    cfg = default_config()
+    cfg.DATA.PATH = img_root
+    cfg.DATA.IMG_SIZE = IMG
+    cfg.DATA.BATCH_SIZE = 8
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MODEL.NAME = "resnet_tiny"
+    cfg.TRAIN.DTYPE = "float32"
+    cfg.TRAIN.USE_EMA = False
+    cfg.TRAIN.SAVE_CP = ""
+    for k, v in overrides.items():
+        section, key = k.split(".")
+        cfg[section][key] = v
+    return cfg
+
+
+def _save_state(cfg, ckpt_root, mutate_ema=False):
+    """Create a fresh TrainState (optionally with a perturbed EMA copy) and
+    save it as an epoch_1 checkpoint, returning its path."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.ckpt.orbax_io import save_checkpoint
+    from endoscopy_tpu.data.pipeline import canonical_size
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.optim.schedules import build_schedule
+    from endoscopy_tpu.train.state import create_train_state
+
+    model = build_model(cfg)
+    size = canonical_size(cfg)
+    state, _ = create_train_state(
+        model, jnp.zeros((1, size, size, 3), jnp.float32),
+        cfg.TRAIN.OPT_NAME, build_schedule(cfg, n_iter_per_epoch=1),
+        use_ema=bool(cfg.TRAIN.USE_EMA))
+    if mutate_ema:
+        state = state.replace(
+            ema_params=jax.tree.map(lambda x: x * 0.5, state.params))
+    path = save_checkpoint(str(ckpt_root), "epoch_1", state,
+                           {"epoch": 1}, block=True)
+    return model, state, path
+
+
+def test_export_roundtrip_symbolic_batch(dataset_root, tmp_path):
+    """Exported probs == the live eval forward, at two different batch
+    sizes through ONE symbolic-batch artifact."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.data.pipeline import canonical_size
+    from endoscopy_tpu.serve.export import (export_model, load_exported,
+                                            make_infer_fn)
+
+    cfg = make_config(dataset_root)
+    model, state, ckpt = _save_state(cfg, tmp_path / "cp")
+    out = tmp_path / "model.jaxexport"
+    size, n_classes = export_model(cfg, ckpt, str(out), platforms=("cpu",))
+    assert size == canonical_size(cfg) and n_classes == 4
+
+    infer = load_exported(str(out))
+    live = make_infer_fn(model, state.params, state.batch_stats, IMG,
+                         jnp.float32)
+    rng = np.random.default_rng(0)
+    for b in (4, 7):  # symbolic batch: ragged sizes, no recompile/pad
+        batch = rng.integers(0, 255, (b, size, size, 3)).astype(np.uint8)
+        got = infer(batch)
+        assert got.shape == (b, 4)
+        np.testing.assert_allclose(got.sum(axis=-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(got, np.asarray(live(batch)), atol=1e-5)
+
+
+def test_export_uses_ema_weights(dataset_root, tmp_path):
+    """A checkpoint trained with EMA serves the EMA weights, not the raw
+    params (the reference evaluates/infers on the EMA model)."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.serve.export import (export_model, load_exported,
+                                            make_infer_fn)
+
+    cfg = make_config(dataset_root, **{"TRAIN.USE_EMA": True})
+    model, state, ckpt = _save_state(cfg, tmp_path / "cp", mutate_ema=True)
+    out = tmp_path / "m.jaxexport"
+    size, _ = export_model(cfg, ckpt, str(out), platforms=("cpu",))
+
+    batch = np.random.default_rng(1).integers(
+        0, 255, (4, size, size, 3)).astype(np.uint8)
+    got = load_exported(str(out))(batch)
+    ema_live = make_infer_fn(model, state.ema_params, state.ema_batch_stats,
+                             IMG, jnp.float32)(batch)
+    raw_live = make_infer_fn(model, state.params, state.batch_stats,
+                             IMG, jnp.float32)(batch)
+    np.testing.assert_allclose(got, np.asarray(ema_live), atol=1e-5)
+    assert not np.allclose(got, np.asarray(raw_live), atol=1e-5)
+
+
+def test_multiplatform_export_and_cli(dataset_root, tmp_path):
+    """cpu+tpu lowering in one artifact; export + infer CLIs end-to-end on a
+    CSV of image paths (thresholded pseudo-label rule included)."""
+    from endoscopy_tpu.cli import export_model as export_cli
+    from endoscopy_tpu.cli import infer as infer_cli
+
+    cfg = make_config(dataset_root, **{"TRAIN.SAVE_CP": str(tmp_path / "cp")})
+    _model, _state, _ckpt = _save_state(cfg, tmp_path / "cp")
+
+    import yaml
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({k: dict(v) for k, v in cfg.items()}, f)
+
+    out = tmp_path / "model.jaxexport"
+    export_cli.main(["--config", str(cfg_path), "--checkpoint", "latest",
+                     "--out", str(out), "--platforms", "cpu,tpu"])
+    assert out.stat().st_size > 0
+
+    # serve a CSV through the canonical decode path
+    import os
+    files = []
+    for root, _, names in os.walk(dataset_root):
+        files.extend(os.path.relpath(os.path.join(root, n), dataset_root)
+                     for n in names if n.endswith(".jpg"))
+    files = sorted(files)[:10]
+    csv = tmp_path / "imgs.csv"
+    pd.DataFrame({"image": files}).to_csv(csv, index=False)
+
+    from endoscopy_tpu.data.pipeline import canonical_size
+    preds = tmp_path / "preds.csv"
+    infer_cli.main(["--model", str(out), "--images", str(csv),
+                    "--root", dataset_root, "--out", str(preds),
+                    "--size", str(canonical_size(cfg)), "--batch", "4"])
+    got = pd.read_csv(preds)
+    assert len(got) == len(files)
+    assert got["pred"].between(0, 3).all()
+    assert got["max_prob"].between(0.0, 1.0).all()
+
+    # thresholded pseudo-label mode (supervised.py:238-268)
+    infer_cli.main(["--model", str(out), "--images", str(csv),
+                    "--root", dataset_root, "--out", str(preds),
+                    "--size", str(canonical_size(cfg)), "--thres", "0.99"])
+    got = pd.read_csv(preds)
+    assert "max_prob" not in got.columns
+    assert got["pred"].between(0, 3).all()
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve_synth"))
+    img_root, _, _, _ = make_synthetic_dataset(
+        root, num_classes=4, n_train=16, n_valid=8, n_unlabeled=8,
+        img_size=40)
+    return img_root
