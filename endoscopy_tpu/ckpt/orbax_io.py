@@ -43,8 +43,26 @@ def wait_until_finished() -> None:
         _CKPTR.wait_until_finished()
 
 
+def _primary_host() -> bool:
+    """Exactly one process may perform filesystem surgery (renames, deletes,
+    metadata writes) on a checkpoint dir shared across hosts."""
+    return jax.process_index() == 0
+
+
+def _barrier(tag: str) -> None:
+    """Cross-process sync so no host races ahead of process 0's surgery.
+    No-op single-process (the common path pays nothing)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(save_dir: str, name: str, state: Any,
                     metadata: Dict, block: bool = False) -> str:
+    """Multi-host note: every process calls this (orbax coordinates the
+    array writes internally); the surrounding rename/delete/meta surgery
+    runs on process 0 only, fenced by barriers."""
     path = os.path.abspath(os.path.join(save_dir, name))
     os.makedirs(save_dir, exist_ok=True)
     ckptr = _checkpointer()
@@ -59,18 +77,24 @@ def save_checkpoint(save_dir: str, name: str, state: Any,
         import shutil
         tmp_dir = os.path.join(path, "state.resave")
         old_dir = os.path.join(path, "state.old")
-        for d in (tmp_dir, old_dir):
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+        if _primary_host():
+            for d in (tmp_dir, old_dir):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+        _barrier(f"ckpt-resave-clean:{name}")
         ckptr.save(tmp_dir, state, force=True)
         ckptr.wait_until_finished()
-        os.rename(state_dir, old_dir)
-        os.rename(tmp_dir, state_dir)
-        shutil.rmtree(old_dir)
+        _barrier(f"ckpt-resave-written:{name}")
+        if _primary_host():
+            os.rename(state_dir, old_dir)
+            os.rename(tmp_dir, state_dir)
+            shutil.rmtree(old_dir)
+        _barrier(f"ckpt-resave-swapped:{name}")
     else:
         ckptr.save(state_dir, state, force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(metadata, f)
+    if _primary_host():
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(metadata, f)
     if block:
         ckptr.wait_until_finished()
     return path
@@ -117,8 +141,12 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
         if not os.path.isdir(state_dir) and os.path.isdir(old_dir):
             # crash landed between the two renames of a re-save swap
             # (save_checkpoint): the previous durable state is still in
-            # state.old — promote it back
-            os.rename(old_dir, state_dir)
+            # state.old — promote it back. Several hosts may scan a shared
+            # dir concurrently; the losers of the rename just re-check.
+            try:
+                os.rename(old_dir, state_dir)
+            except OSError:
+                pass
         if int(m.group(1)) > best_n and os.path.isdir(state_dir):
             best, best_n = os.path.join(save_dir, d), int(m.group(1))
     return best

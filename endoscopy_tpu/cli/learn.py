@@ -162,7 +162,9 @@ def main(argv=None) -> None:
         print(f"=== stage {idx} | IMG_SIZE={config.DATA.IMG_SIZE} ===")
         preview = args.preview
         if preview and len(configs) > 1:
-            preview = preview.replace(".png", f"_stage{idx}.png")
+            import os
+            stem, ext = os.path.splitext(preview)
+            preview = f"{stem}_stage{idx}{ext or '.png'}"
         trainer, model = run_config(config, model=model,
                                     trainer_override=args.trainer,
                                     carry_state=carry_state,

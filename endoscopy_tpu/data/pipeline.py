@@ -180,9 +180,15 @@ class EvalLoader:
         self.batch_size = int(batch_size)
         self.size = int(size)
         self._decoder = _Decoder(int(num_workers))
+        est_bytes = len(manifest) * size * size * 3
         if cache is None:
-            est_bytes = len(manifest) * size * size * 3
             cache = est_bytes <= cache_limit_bytes
+        elif cache and est_bytes > cache_limit_bytes:
+            # same graceful degrade as CanonicalLoader: an explicit
+            # cache=True above the RAM bound streams instead of OOMing
+            print(f"EvalLoader: cache would need {est_bytes / 1e9:.1f} GB "
+                  f"(> {cache_limit_bytes / 1e9:.1f} GB bound); streaming instead")
+            cache = False
         self._cache: Optional[np.ndarray] = None
         if cache and len(manifest):
             self._cache = self._decoder.decode_batch(manifest.paths, self.size)

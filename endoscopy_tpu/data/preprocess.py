@@ -107,13 +107,13 @@ def preprocess_tree(src_root: str, dst_root: str, min_edge: int = 336,
         os.makedirs(out_dir, exist_ok=True)
         for f in files:
             if f.lower().endswith((".jpg", ".jpeg", ".png")):
-                # cv2.imwrite picks the codec from the extension, so PNG
-                # inputs must be renamed to .jpg or the JPEG_QUALITY flag is
-                # silently ignored and the output tree is mixed-format.
-                out_f = (f if f.lower().endswith((".jpg", ".jpeg"))
-                         else os.path.splitext(f)[0] + ".jpg")
+                # Source filenames are preserved (annotation CSVs reference
+                # them verbatim, and renaming x.png -> x.jpg would collide
+                # with a sibling x.jpg); cv2.imwrite picks the codec from
+                # the extension, so each format gets its own encode params
+                # instead of PNGs silently ignoring the JPEG quality flag.
                 jobs.append((os.path.join(dirpath, f),
-                             os.path.join(out_dir, out_f)))
+                             os.path.join(out_dir, f)))
 
     def work(job) -> bool:
         src, dst = job
@@ -122,8 +122,11 @@ def preprocess_tree(src_root: str, dst_root: str, min_edge: int = 336,
             return False
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         out = preprocess_image(rgb, min_edge, do_crop, deform)
+        params = ([cv2.IMWRITE_JPEG_QUALITY, quality]
+                  if dst.lower().endswith((".jpg", ".jpeg"))
+                  else [cv2.IMWRITE_PNG_COMPRESSION, 3])
         return bool(cv2.imwrite(dst, cv2.cvtColor(out, cv2.COLOR_RGB2BGR),
-                                [cv2.IMWRITE_JPEG_QUALITY, quality]))
+                                params))
 
     with ThreadPoolExecutor(max(1, num_workers)) as pool:
         return sum(pool.map(work, jobs))

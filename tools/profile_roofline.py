@@ -27,8 +27,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-V5E_HBM_GBPS = 819.0
-V5E_BF16_TFLOPS = 197.0
+# single source of truth for hardware constants + cost-analysis extraction
+from bench import V5E_BF16_TFLOPS, V5E_HBM_GBPS, _cost_per_step  # noqa: E402
 
 
 def build(img: int):
@@ -66,15 +66,10 @@ def main():
     # --- cost analysis of the single-step program ---------------------------
     single_args = (trainer.state, sharded[0][0], sharded[1][0], sharded[2][0],
                    weights, trainer._next_rng())
-    lowered = trainer._train_step.lower(*single_args)
-    print(f"[{time.time()-t0:.0f}s] lowered", flush=True)
-    compiled = lowered.compile()
-    print(f"[{time.time()-t0:.0f}s] compiled", flush=True)
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    flops_step = float(ca.get("flops", 0.0))
-    bytes_step = float(ca.get("bytes accessed", 0.0))
+    flops_step, bytes_step = _cost_per_step(trainer._train_step, single_args)
+    print(f"[{time.time()-t0:.0f}s] cost analysis done", flush=True)
+    if flops_step is None:
+        sys.exit("cost analysis unavailable on this backend")
     hbm_floor_ms = bytes_step / (V5E_HBM_GBPS * 1e9) * 1e3
     mxu_floor_ms = flops_step / (V5E_BF16_TFLOPS * 1e12) * 1e3
 
