@@ -198,24 +198,36 @@ def center_crop(img: jnp.ndarray, size: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice(img, (top, left, 0), (size, size, img.shape[-1]))
 
 
-def random_crop_reflect(img: jnp.ndarray, size: int, padding: int,
-                        key: jax.Array) -> jnp.ndarray:
-    """transforms.RandomCrop(size, padding, padding_mode='reflect')
-    (dataset.py:35-37).
-
-    Implemented as two constant-shift roll passes + a static slice instead
-    of a per-sample dynamic_slice (which lowers to a scalar-core gather
-    under vmap on TPU)."""
-    padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)),
-                     mode="reflect")
-    ph = padded.shape[0]
-    max_off = ph - size
+def sample_crop_offsets(key: jax.Array, max_off: int):
+    """(top, left) ~ U{0..max_off} for RandomCrop — split out so the Pallas
+    crop-fused strong view draws bit-identical offsets to this XLA path."""
     ky, kx = jax.random.split(key)
     top = jax.random.randint(ky, (), 0, max_off + 1)
     left = jax.random.randint(kx, (), 0, max_off + 1)
+    return top, left
+
+
+def crop_at(padded: jnp.ndarray, size: int, top, left,
+            max_off: int) -> jnp.ndarray:
+    """``padded[top:top+size, left:left+size]`` for traced offsets, as two
+    constant-shift roll passes + a static slice instead of a per-sample
+    dynamic_slice (which lowers to a scalar-core gather under vmap on
+    TPU)."""
+    ph = padded.shape[0]
     shifted = _shift_rows(padded, jnp.full((ph,), left, jnp.int32), max_off)
     shifted = _shift_cols(shifted, jnp.full((ph,), top, jnp.int32), max_off)
     return shifted[:size, :size, :]
+
+
+def random_crop_reflect(img: jnp.ndarray, size: int, padding: int,
+                        key: jax.Array) -> jnp.ndarray:
+    """transforms.RandomCrop(size, padding, padding_mode='reflect')
+    (dataset.py:35-37)."""
+    padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)),
+                     mode="reflect")
+    max_off = padded.shape[0] - size
+    top, left = sample_crop_offsets(key, max_off)
+    return crop_at(padded, size, top, left, max_off)
 
 
 def hflip(img: jnp.ndarray) -> jnp.ndarray:

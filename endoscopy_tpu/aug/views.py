@@ -88,6 +88,21 @@ def _fixmatch_strong_pre(img, key, img_size: int):
     return ops.random_crop_reflect(img, img_size, int(img_size * 0.125), k_crop)
 
 
+def _fixmatch_strong_pad_one(img, key, img_size: int):
+    """Pallas path: the RandomCrop is fused into the kernel, so emit the
+    reflect-padded image + sampled offsets instead of cropping here. Key
+    draws mirror _fixmatch_strong_pre exactly (bit-identical crops,
+    asserted in tests/test_pallas_kernel.py)."""
+    k_flip, k_crop = jax.random.split(key)
+    img = _center(img, img_size)
+    img = _maybe(ops.hflip, img, k_flip, 0.5)
+    padding = int(img_size * 0.125)
+    padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)),
+                     mode="reflect")
+    top, left = ops.sample_crop_offsets(k_crop, 2 * padding)
+    return padded, top, left
+
+
 def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
                    dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(weak, strong) from one canonical batch."""
@@ -95,8 +110,19 @@ def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
     weak = jax.vmap(partial(_fixmatch_weak_one, img_size=img_size))(x)
     k_pre, k_ra = jax.random.split(key)
     keys = jax.random.split(k_pre, x.shape[0])
-    strong = jax.vmap(partial(_fixmatch_strong_pre, img_size=img_size))(x, keys)
-    strong = _randaugment_batch(strong, k_ra)
+    if _pallas_randaug_enabled():
+        # crop-fused kernel: VMEM addressing replaces ~13 HBM roll passes
+        # over the padded image (measured 13.5 ms for 224 imgs @224px)
+        from endoscopy_tpu.ops.randaugment_kernel import randaugment_mc_pallas
+        padded, tops, lefts = jax.vmap(
+            partial(_fixmatch_strong_pad_one, img_size=img_size))(x, keys)
+        strong = randaugment_mc_pallas(
+            padded.astype(jnp.float32), k_ra, crop_offsets=(tops, lefts),
+            crop_size=img_size).astype(x.dtype)
+    else:
+        strong = jax.vmap(partial(_fixmatch_strong_pre, img_size=img_size))(
+            x, keys)
+        strong = _randaugment_batch(strong, k_ra)
     return normalize(weak, dtype), normalize(strong, dtype)
 
 

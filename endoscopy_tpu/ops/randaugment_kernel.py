@@ -159,13 +159,43 @@ def _sharpness_plane(plane, factor, h: int, w: int):
 
 
 def _kernel(pi_ref, pf_ref, img_ref, out_ref, buf, n_slots: int,
-            h: int, w: int, PAD: int):
-    """pi_ref (B, 2+n_slots*2) int32 SMEM: [cut_cx, cut_cy, (op, apply)*slots]
+            h: int, w: int, PAD: int, hp: int | None = None,
+            wp: int | None = None):
+    """pi_ref (B, 2+n_slots*2[+2]) int32 SMEM: [cut_cx, cut_cy,
+    (op, apply)*slots, [crop_top, crop_left]]
     pf_ref (B, n_slots*2) f32 SMEM: [(v, sign)*slots]
-    img_ref/out_ref: (1, 3, h, w) VMEM; buf: (3, h, w); pad: (h, w+2*PAD).
+    img_ref: (1, 3, hp, wp) VMEM (hp=h, wp=w without crop fusion);
+    out_ref: (1, 3, h, w); buf: (3, h, w).
+
+    Crop fusion (hp > h): the FixMatch random crop is a per-sample dynamic
+    window into the reflect-padded input. Doing it here costs VMEM
+    addressing (a sublane dynamic slice for the row offset + a
+    bit-decomposed lane rotation for the column offset) instead of the XLA
+    path's ~13 HBM-bound roll passes over the padded image — measured
+    13.5 ms -> ~0 extra ms for the 224-image 224px strong view.
     """
     i = pl.program_id(0)
-    buf[:, :, :] = img_ref[0]
+    if hp is None or (hp == h and wp == w):
+        buf[:, :, :] = img_ref[0]
+    else:
+        # out = padded[top:top+h, left:left+w] via bit-decomposed VMEM
+        # rotations on both axes + a static slice (Mosaic rejects
+        # arbitrary dynamic sublane/lane slice starts)
+        top = pi_ref[i, 2 + 2 * n_slots]
+        left = pi_ref[i, 3 + 2 * n_slots]
+        nb_r = max(int(hp - h).bit_length(), 1)
+        nb_c = max(int(wp - w).bit_length(), 1)
+        for c in range(3):
+            x = img_ref[0, c]  # (hp, wp)
+            for k in range(nb_r):
+                bit = (top >> k) & 1
+                x = jnp.where(bit == 1,
+                              pltpu.roll(x, (-(1 << k)) % hp, axis=0), x)
+            for k in range(nb_c):
+                bit = (left >> k) & 1
+                x = jnp.where(bit == 1,
+                              pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
+            buf[c] = x[:h, :w]
 
     for slot in range(n_slots):
         op = pi_ref[i, 2 + slot * 2]
@@ -263,23 +293,41 @@ def sample_randaugment_params(key: jax.Array, batch: int, h: int, w: int,
     return pi.astype(jnp.int32), pf.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n", "interpret", "crop_size"))
 def randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False, crop_offsets=None,
+                          crop_size: int | None = None) -> jnp.ndarray:
     """Batch RandAugmentMC via the per-sample-dispatch kernel.
 
     batch_nhwc: (B, H, W, 3) float32 in [0,255]; returns same shape/dtype.
+
+    Crop fusion: with ``crop_offsets=(tops, lefts)`` (two int32 (B,) arrays)
+    and ``crop_size``, the input is a reflect-padded batch and each sample's
+    ``crop_size``² window at (top, left) is sliced INSIDE the kernel before
+    the ops run — the FixMatch strong view's RandomCrop for free
+    (aug/views.py::fixmatch_views).
     """
     b, h, w, _ = batch_nhwc.shape
     assert h == w, "square images only (scratch sharing)"
+    hp = wp = None
+    if crop_offsets is not None:
+        assert crop_size is not None and crop_size <= h
+        hp, wp = h, w
+        h = w = int(crop_size)
     PAD = _pad_for(max(h, w))
     pi, pf = sample_randaugment_params(key, b, h, w, n=n)
+    if crop_offsets is not None:
+        tops, lefts = crop_offsets
+        pi = jnp.concatenate(
+            [pi, tops.astype(jnp.int32)[:, None],
+             lefts.astype(jnp.int32)[:, None]], axis=1)
     planar = batch_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32)
 
+    in_h, in_w = (hp, wp) if hp is not None else (h, w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, 3, in_h, in_w), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -288,8 +336,9 @@ def randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_slots=n, h=h, w=w, PAD=PAD),
-        out_shape=jax.ShapeDtypeStruct(planar.shape, jnp.float32),
+        functools.partial(_kernel, n_slots=n, h=h, w=w, PAD=PAD,
+                          hp=hp, wp=wp),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(pi, pf, planar)

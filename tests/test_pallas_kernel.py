@@ -102,3 +102,45 @@ def _forced_kernel(imgs, pi, pf):
         interpret=True,
     )(pi, pf, planar)
     return out.transpose(0, 2, 3, 1)
+
+
+def test_kernel_crop_fusion_matches_xla_crop(rng):
+    """Crop-fused kernel (padded input + per-sample offsets sliced in VMEM)
+    == roll-based XLA crop_at followed by the crop-free kernel, exactly
+    (same aug params: both draw from the same key at the output size)."""
+    from endoscopy_tpu.aug import ops
+
+    PADDING, OUT = 3, S
+    P = OUT + 2 * PADDING
+    imgs = jnp.asarray(rng.integers(0, 256, (B, P, P, 3)), jnp.float32)
+    tops = jnp.asarray(rng.integers(0, 2 * PADDING + 1, B), jnp.int32)
+    lefts = jnp.asarray(rng.integers(0, 2 * PADDING + 1, B), jnp.int32)
+    key = jax.random.key(7)
+
+    out_fused = np.asarray(randaugment_mc_pallas(
+        imgs, key, interpret=True, crop_offsets=(tops, lefts), crop_size=OUT))
+    cropped = jax.vmap(
+        lambda im, t, l: ops.crop_at(im, OUT, t, l, 2 * PADDING))(
+            imgs, tops, lefts)
+    out_ref = np.asarray(randaugment_mc_pallas(cropped, key, interpret=True))
+    np.testing.assert_array_equal(out_fused, out_ref)
+
+
+def test_strong_pad_path_bit_identical_to_xla_strong_pre(rng):
+    """The Pallas-path pad+offsets emitter draws the same flips and crop
+    offsets as the XLA _fixmatch_strong_pre for the same key, so the two
+    strong-view paths see identical pixels entering RandAugment."""
+    from endoscopy_tpu.aug import ops
+    from endoscopy_tpu.aug.views import (_fixmatch_strong_pad_one,
+                                         _fixmatch_strong_pre)
+
+    IMG = 24
+    canon = int(IMG * 1.2)
+    img = jnp.asarray(rng.integers(0, 256, (canon, canon, 3)), jnp.float32)
+    padding = int(IMG * 0.125)
+    for seed in (0, 1, 2, 3):
+        key = jax.random.key(seed)
+        xla = _fixmatch_strong_pre(img, key, IMG)
+        padded, top, left = _fixmatch_strong_pad_one(img, key, IMG)
+        fused = ops.crop_at(padded, IMG, top, left, 2 * padding)
+        np.testing.assert_array_equal(np.asarray(xla), np.asarray(fused))
