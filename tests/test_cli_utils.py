@@ -91,3 +91,31 @@ def test_split_reproducible_and_plain():
     assert (a["is_valid"] == b["is_valid"]).all()
     assert int(a["is_valid"].sum()) == 10
     assert "is_labeled" not in a.columns
+
+
+def test_eda_cli_describes_manifest(tmp_path, capsys):
+    """cli.eda mirrors the reference EDA notebooks' value_counts flows:
+    class counts, train/valid + mock-SSL breakdowns, imbalance ratio."""
+    from endoscopy_tpu.cli.eda import describe, main
+
+    df = pd.DataFrame({
+        "image": [f"i{i}.jpg" for i in range(20)],
+        "target": [0] * 12 + [1] * 6 + [2] * 2,
+        "is_valid": [True, False] * 10,
+        "is_labeled": [True] * 10 + [False] * 10,
+    })
+    csv = tmp_path / "anno.csv"
+    df.to_csv(csv, index=False)
+
+    stats = describe(df)
+    assert stats["rows"] == 20
+    assert stats["classes"] == {0: 12, 1: 6, 2: 2}
+    assert stats["imbalance_ratio"] == 6.0
+    assert stats["train_rows"] == 10 and stats["valid_rows"] == 10
+    assert stats["labeled_rows"] + stats["unlabeled_rows"] == 10
+
+    out = tmp_path / "dist.png"
+    main(["--csv", str(csv), "--chart", str(out)])
+    printed = capsys.readouterr().out
+    assert "imbalance_ratio: 6.0" in printed
+    assert out.is_file() and out.stat().st_size > 0
