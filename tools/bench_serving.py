@@ -1,0 +1,82 @@
+"""Serving-path benchmark: exported-artifact inference on the local chip.
+
+Times `serve.load_exported` calls (the deployment path: StableHLO artifact,
+weights baked, symbolic batch) against the live jitted eval forward at
+several batch sizes — per-call latency and img/s with device-resident
+inputs (same convention as bench.py: the tunnel's host->device transfer is
+not the chip's serving capability; see PERF.md tunnel note).
+
+Usage: python tools/bench_serving.py [--model resnet50] [--img 112]
+       [--batches 1,8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--img", type=int, default=112)
+    ap.add_argument("--batches", default="1,8,32")
+    ap.add_argument("--calls", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from bench import _mk_cfg
+    from endoscopy_tpu.data.pipeline import canonical_size
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.serve.export import make_infer_fn
+
+    cfg = _mk_cfg(args.model, args.img, 32, 7, "None")
+    size = canonical_size(cfg)
+    model = build_model(cfg)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, size, size, 3), jnp.float32),
+                           train=False)
+    infer = make_infer_fn(model, variables["params"],
+                          variables.get("batch_stats", {}),
+                          int(cfg.DATA.IMG_SIZE), jnp.bfloat16)
+
+    # export with a symbolic batch (the deployment artifact), rehydrate
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
+    t0 = time.time()
+    exported = jax_export.export(jax.jit(infer))(spec)
+    blob = exported.serialize()
+    rehydrated = jax_export.deserialize(blob)
+    print(f"artifact: {len(blob) / 1e6:.1f} MB, export {time.time()-t0:.0f}s",
+          flush=True)
+
+    # The relay caches repeat executions with identical inputs (PERF.md);
+    # stage DISTINCT device-resident batches and rotate through them so
+    # every timed call is a real execution.
+    rng = np.random.default_rng(0)
+    for bs in [int(x) for x in args.batches.split(",")]:
+        batches = [
+            jnp.asarray(
+                rng.integers(0, 255, (bs, size, size, 3)).astype(np.uint8))
+            for _ in range(args.calls)
+        ]
+        out = rehydrated.call(batches[0])  # compile for this batch size
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [rehydrated.call(b) for b in batches]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.calls
+        print(f"B={bs:3d}: {dt * 1e3:7.2f} ms/call, "
+              f"{bs / dt:9.0f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
