@@ -18,3 +18,19 @@ Reference behavior contracts are cited throughout as
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ETPU_PLATFORM"):
+    # Opt-in backend override for CLI/tool runs (e.g. ETPU_PLATFORM=cpu for
+    # host-only smoke tests). The runtime-config route is used instead of
+    # JAX_PLATFORMS because environments that pre-register a PJRT plugin in
+    # sitecustomize may overwrite JAX_PLATFORMS at `import jax` time; the
+    # explicit config update always wins as long as no backend has been
+    # initialized yet — package import is early enough for every CLI here.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ETPU_PLATFORM"])
+    if _os.environ.get("ETPU_CPU_DEVICES"):
+        _jax.config.update("jax_num_cpu_devices",
+                           int(_os.environ["ETPU_CPU_DEVICES"]))

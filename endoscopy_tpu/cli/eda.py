@@ -42,15 +42,18 @@ def describe(df: pd.DataFrame, target: str = "target") -> dict:
     return out
 
 
-def chart(df: pd.DataFrame, target: str, save_path: str) -> None:
-    """Class-distribution bar chart (sorted desc, the notebooks' layout)."""
+def chart(df: pd.DataFrame, target: str, save_path: str) -> bool:
+    """Class-distribution bar chart (sorted desc, the notebooks' layout).
+
+    Returns True when the PNG was written, False when matplotlib is
+    unavailable (headless pods).
+    """
+    from endoscopy_tpu.eval.visualize import _plt
+
     counts = df[target].value_counts().sort_values(ascending=False)
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError:  # pragma: no cover - headless pods without mpl
-        return
+    plt = _plt()
+    if plt is None:  # pragma: no cover - headless pods without mpl
+        return False
     fig, ax = plt.subplots(figsize=(max(6, len(counts) * 0.6), 4))
     ax.bar([str(c) for c in counts.index], counts.values)
     ax.set_ylabel("images")
@@ -58,6 +61,7 @@ def chart(df: pd.DataFrame, target: str, save_path: str) -> None:
     ax.tick_params(axis="x", rotation=60)
     fig.savefig(save_path, bbox_inches="tight")
     plt.close(fig)
+    return True
 
 
 def main(argv=None) -> None:
@@ -73,8 +77,10 @@ def main(argv=None) -> None:
     for k, v in stats.items():
         print(f"{k}: {v}")
     if args.chart:
-        chart(df, args.target, args.chart)
-        print(f"chart written to {args.chart}")
+        if chart(df, args.target, args.chart):
+            print(f"chart written to {args.chart}")
+        else:
+            print("chart skipped: matplotlib not available")
 
 
 if __name__ == "__main__":

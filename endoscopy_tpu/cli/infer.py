@@ -5,8 +5,9 @@ the canonical pipeline (cv2 BGR→RGB bilinear, the exact training contract),
 and writes per-image predictions. With ``--thres`` the output follows the
 reference's thresholded pseudo-label rule ``pred = argmax × [max_prob >
 THRES]`` (supervised.py:238-268); otherwise ``pred = argmax`` plus
-``max_prob``. A symbolic-batch artifact runs the ragged final batch
-directly — no padding.
+``max_prob``. The ragged final batch is zero-padded to ``--batch`` and the
+pad rows dropped, so pinned-batch artifacts work and symbolic-batch
+artifacts compile exactly one batch size.
 
 Usage::
 
@@ -54,7 +55,14 @@ def main(argv=None) -> None:
     for lo in range(0, len(paths), args.batch):
         chunk = paths[lo:lo + args.batch]
         batch = np.stack([decode_canonical(p, args.size) for p in chunk])
-        probs = infer(batch)
+        # Pad the ragged final batch to --batch: pinned-batch artifacts
+        # (export_model --batch N) reject other sizes, and symbolic-batch
+        # artifacts would pay a second compile for the ragged size.
+        if len(chunk) < args.batch:
+            pad = np.zeros((args.batch - len(chunk),) + batch.shape[1:],
+                           batch.dtype)
+            batch = np.concatenate([batch, pad], axis=0)
+        probs = infer(batch)[:len(chunk)]
         preds.append(np.argmax(probs, axis=-1))
         maxp.append(np.max(probs, axis=-1))
     preds = np.concatenate(preds) if preds else np.zeros(0, np.int64)

@@ -91,12 +91,25 @@ def preview_views(config, train_dl, save_path: Optional[str] = None,
 
     from endoscopy_tpu.aug import views as V
 
+    def _first_rows(dl, n):
+        # Random-access `sample()` protocol: previewing must NOT consume a
+        # permutation draw from the loader's seeded RNG (a seeded run with
+        # --preview would otherwise train on different batch orders than
+        # the same run without it). Iteration is a fallback for loaders
+        # without the protocol.
+        if hasattr(dl, "sample") and hasattr(dl, "manifest"):
+            t = np.asarray(dl.manifest.targets)
+            idx = np.arange(min(n, len(t)))
+            return dl.sample(idx), t[idx]
+        batch_u8, targets = next(iter(dl))
+        return batch_u8[:n], np.asarray(targets)[:n]
+
     size = int(config.DATA.IMG_SIZE)
     key = jax.random.PRNGKey(seed)
     if config.TRAIN.IS_SSL:
         lab_dl, unl_dl = train_dl
-        lab_u8, _ = next(iter(lab_dl))
-        unl_u8, _ = next(iter(unl_dl))
+        lab_u8, _ = _first_rows(lab_dl, 1)
+        unl_u8, _ = _first_rows(unl_dl, 1)
         k_lab, k_unl = jax.random.split(key)
         lab = V.labeled_train_view(jnp.asarray(lab_u8[:1]), k_lab, size)
         if config.MODEL.TYPE_SEMI == "CoMatch":
@@ -106,7 +119,7 @@ def preview_views(config, train_dl, save_path: Optional[str] = None,
             w, s = V.fixmatch_views(jnp.asarray(unl_u8[:1]), k_unl, size)
             imgs = [lab[0], w[0], s[0]]
     else:
-        batch_u8, targets = next(iter(train_dl))
+        batch_u8, targets = _first_rows(train_dl, 4)
         if config.MODEL.IS_TRIPLET and hasattr(train_dl, "sample"):
             # anchor/pos/neg of the first sample via the loader's
             # random-access protocol (mirrors dataset.py:279-306 sampling)
