@@ -158,6 +158,40 @@ def test_multiplatform_export_and_cli(dataset_root, tmp_path):
     assert got["pred"].between(0, 3).all()
 
 
+def test_infer_cli_pinned_batch_ragged_csv(dataset_root, tmp_path):
+    """A pinned-batch artifact (export_model --batch N) must serve a CSV
+    whose row count is not a multiple of N: the infer CLI zero-pads the
+    ragged final batch and drops the pad rows."""
+    import os
+
+    from endoscopy_tpu.cli import infer as infer_cli
+    from endoscopy_tpu.data.pipeline import canonical_size
+    from endoscopy_tpu.serve.export import export_model
+
+    cfg = make_config(dataset_root)
+    _model, _state, ckpt = _save_state(cfg, tmp_path / "cp")
+    out = tmp_path / "pinned.jaxexport"
+    size, _ = export_model(cfg, ckpt, str(out), platforms=("cpu",), batch=4)
+
+    files = []
+    for root, _, names in os.walk(dataset_root):
+        files.extend(os.path.relpath(os.path.join(root, n), dataset_root)
+                     for n in names if n.endswith(".jpg"))
+    files = sorted(files)[:6]  # 6 rows: ragged final chunk of 2 vs batch 4
+    assert len(files) == 6
+    csv = tmp_path / "imgs.csv"
+    pd.DataFrame({"image": files}).to_csv(csv, index=False)
+
+    preds = tmp_path / "preds.csv"
+    infer_cli.main(["--model", str(out), "--images", str(csv),
+                    "--root", dataset_root, "--out", str(preds),
+                    "--size", str(canonical_size(cfg)), "--batch", "4"])
+    got = pd.read_csv(preds)
+    assert len(got) == 6
+    assert got["pred"].between(0, 3).all()
+    assert got["max_prob"].between(0.0, 1.0).all()
+
+
 @pytest.fixture(scope="module")
 def dataset_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("serve_synth"))

@@ -255,3 +255,28 @@ def test_preview_views_ssl_and_triplet(dataset, tmp_path):
     train_dl, _, _, _ = build_data(cfg)
     imgs = preview_views(cfg, train_dl, save_path=str(tmp_path / "prev_t.png"))
     assert len(imgs) == 3
+
+
+def test_preview_does_not_consume_loader_rng(dataset):
+    """--preview must not change the training batch order: preview_views
+    reads through the loaders' random-access sample() protocol, so a seeded
+    run with preview trains on the same batches as one without."""
+    from endoscopy_tpu.eval.visualize import preview_views
+
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root)
+    cfg.DATA.ANNO = anno_csv
+    cfg.TRAIN.IS_SSL = False
+    cfg.MODEL.IS_TRIPLET = False
+    df = pd.read_csv(anno_csv)
+    train_m, _, _ = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+
+    with_prev = CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0)
+    without = CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0)
+    preview_views(cfg, with_prev)
+
+    (img_a, tgt_a) = next(iter(with_prev))
+    (img_b, tgt_b) = next(iter(without))
+    np.testing.assert_array_equal(tgt_a, tgt_b)
+    np.testing.assert_array_equal(img_a, img_b)
