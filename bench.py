@@ -271,6 +271,51 @@ def row_supervised(model: str = "swin", img: int = 224, b: int = 64,
     return ips, dt / steps * 1e3, flops, bts
 
 
+def row_triplet(model: str = "resnet50", img: int = 224, b: int = 32,
+                k: int = 8, calls: int = 5, with_cost: bool = False):
+    """Supervised triplet step — 3B anchor/pos/neg images through ModelwEmb,
+    triplet loss on pooled features + poly-CE on anchor logits
+    (supervised.py:84-108; EZBM stage-1 path, kaggle_supervised_ezbm.yaml
+    dims). Host-side rejection sampling is not timed (it overlaps the async
+    dispatch in training); this measures the fused 3B-image step."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.supervised import SupLearning
+
+    cfg = _mk_cfg(model, img, b, 1, "None")
+    cfg.MODEL.IS_TRIPLET = True
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    size = int(cfg.DATA.IMG_SIZE * 1.2)
+    rng = np.random.default_rng(0)
+    xk = rng.integers(0, 255, (k, 3 * b, size, size, 3)).astype(np.uint8)
+    tk = rng.integers(0, cfg.MODEL.NUM_CLASSES, (k, b)).astype(np.int64)
+    sx, st = trainer._shard_stacked(xk, tk)
+
+    box = {"state": trainer.state, "loss": None}
+
+    def run():
+        for _ in range(2):
+            box["state"], losses, _ = trainer._train_multi(
+                box["state"], sx, st, weights, trainer._next_rng())
+            box["loss"] = losses
+
+    dt = _timed(run, lambda: float(box["loss"][-1]), calls)
+    steps = calls * 2 * k
+    ips = 3 * b * steps / dt / len(jax.devices())
+    if not with_cost:
+        return ips
+    flops, bts = _cost_per_step(
+        trainer._train_step,
+        (box["state"], *trainer._shard(xk[0], tk[0]), weights,
+         trainer._next_rng()))
+    return ips, dt / steps * 1e3, flops, bts
+
+
 TABLE_ROWS = [
     # (name, unit-description, fn) — covers every default backbone family in
     # the reference configs: resnet50, conformer, swin, densenet161,
@@ -293,6 +338,9 @@ TABLE_ROWS = [
      "view (kaggle_supervised_abnorm.yaml)",
      lambda: row_supervised("efficientnet_b1", 224, 32, k=4, calls=4,
                             with_cost=True)),
+    ("triplet_resnet50_224", "Triplet ModelwEmb 3x32 imgs 224px "
+     "(EZBM stage 1, kaggle_supervised_ezbm.yaml)",
+     lambda: row_triplet("resnet50", 224, 32, k=4, calls=4, with_cost=True)),
 ]
 
 
