@@ -119,3 +119,20 @@ def test_eda_cli_describes_manifest(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "imbalance_ratio: 6.0" in printed
     assert out.is_file() and out.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_etpu_platform_env_overrides_backend():
+    """ETPU_PLATFORM=cpu must pin a fresh process to the CPU backend even on
+    hosts whose sitecustomize overwrites JAX_PLATFORMS at `import jax` time
+    (the config-update route in endoscopy_tpu/__init__ beats the env var)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, ETPU_PLATFORM="cpu", ETPU_CPU_DEVICES="2")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import endoscopy_tpu, jax; print(jax.devices())"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "CpuDevice(id=0)" in out.stdout and "CpuDevice(id=1)" in out.stdout
