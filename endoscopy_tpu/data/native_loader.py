@@ -65,6 +65,8 @@ def _load_lib() -> ctypes.CDLL:
     lib.loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+    lib.loader_dropped.restype = ctypes.c_int64
+    lib.loader_dropped.argtypes = [ctypes.c_void_p]
     lib.loader_destroy.restype = None
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -93,6 +95,10 @@ class _Handle:
             imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return imgs, idx
+
+    def dropped(self) -> int:
+        """Files the C++ core skipped as unreadable/undecodable so far."""
+        return int(self._lib.loader_dropped(self._ptr))
 
     def close(self) -> None:
         if self._ptr is not None:
@@ -126,21 +132,50 @@ class NativeCanonicalLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         targets = self.manifest.targets
+        warned_dropped = 0
         while True:
             imgs, idx = self._handle.next(self.batch_size)
+            if (idx < 0).any():  # C++ sentinel: a full pass decoded nothing
+                raise RuntimeError(
+                    "native loader: no decodable image in the manifest "
+                    f"({self._handle.dropped()} failures)")
+            dropped = self._handle.dropped()
+            if dropped > warned_dropped:
+                # the stream stays fixed-shape (corrupt files are skipped,
+                # valid ones recycle in), but silent data loss must be loud
+                import warnings
+
+                warnings.warn(
+                    f"native loader skipped {dropped} unreadable/undecodable "
+                    "image read(s) so far (the prefetcher may revisit a bad "
+                    "file once per epoch pass); affected files will never be "
+                    "trained on", RuntimeWarning, stacklevel=2)
+                warned_dropped = dropped
             yield imgs, targets[idx]
 
     def sample(self, indices: np.ndarray) -> np.ndarray:
         """Random access decode (triplet/EZBM protocol): a transient
         single-thread, non-shuffled core decodes exactly the requested rows
-        in order."""
+        in order. Raises on unreadable rows — unlike the infinite stream,
+        a sample() caller asked for SPECIFIC rows, and silently recycling a
+        neighbor into the missing slot would hand back uninitialized or
+        duplicated pixels."""
         indices = np.asarray(indices, np.int64)
         tmp = _Handle(self.manifest.paths[indices], self.size, 1,
                       max(len(indices), 1), 0, shuffle=False)
         try:
             imgs, got = tmp.next(len(indices))
+            dropped = tmp.dropped()
         finally:
             tmp.close()
+        if dropped > 0 or (got < 0).any() or \
+                len(np.unique(got)) != len(indices):
+            missing = sorted(set(range(len(indices))) -
+                             set(g for g in got.tolist() if g >= 0))
+            bad = [str(self.manifest.paths[indices[m]]) for m in missing[:4]]
+            raise RuntimeError(
+                f"native loader could not decode {max(dropped, len(missing))}"
+                f" of {len(indices)} sampled image(s): {bad}")
         # single worker decodes sequentially, but reorder defensively
         out = np.empty_like(imgs)
         out[got] = imgs

@@ -126,6 +126,10 @@ class Loader {
     for (auto& t : workers_) t.join();
   }
 
+  // Unreadable/undecodable files skipped so far (never enqueued): the
+  // stream stays fixed-shape, but callers can detect silent data loss.
+  int64_t dropped() const { return dropped_.load(); }
+
   // Fill a batch: images (n*size*size*3 uint8), indices (n int64).
   void next(int n, uint8_t* images, int64_t* indices) {
     for (int i = 0; i < n; ++i) {
@@ -174,18 +178,45 @@ class Loader {
       int64_t idx = next_index();
       const std::string& path = paths_[idx];
 
-      FILE* f = std::fopen(path.c_str(), "rb");
-      if (!f) continue;
-      std::fseek(f, 0, SEEK_END);
-      long len = std::ftell(f);
-      std::fseek(f, 0, SEEK_SET);
-      raw.resize(len);
-      size_t rd = std::fread(raw.data(), 1, len, f);
-      std::fclose(f);
-      if (rd != static_cast<size_t>(len)) continue;
-
+      bool ok = false;
       int w = 0, h = 0;
-      if (!decode_jpeg(raw.data(), raw.size(), decoded, w, h)) continue;
+      FILE* f = std::fopen(path.c_str(), "rb");
+      if (f) {
+        std::fseek(f, 0, SEEK_END);
+        long len = std::ftell(f);
+        std::fseek(f, 0, SEEK_SET);
+        raw.resize(len > 0 ? len : 0);
+        size_t rd = len > 0 ? std::fread(raw.data(), 1, len, f) : 0;
+        std::fclose(f);
+        ok = len > 0 && rd == static_cast<size_t>(len) &&
+             decode_jpeg(raw.data(), raw.size(), decoded, w, h);
+      }
+      if (!ok) {
+        ++dropped_;
+        // Safety valve: with every file undecodable the queue would never
+        // fill and next() would block forever. After a full failed pass
+        // over the dataset, enqueue a sentinel (index = -1) so the Python
+        // side can raise instead of hanging.
+        if (++consecutive_failures_ >= static_cast<int64_t>(paths_.size())) {
+          consecutive_failures_ = 0;
+          Item sentinel;
+          sentinel.index = -1;
+          sentinel.pixels.assign(
+              static_cast<size_t>(size_) * size_ * 3, 0);
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_not_full_.wait(lk, [this] {
+              return queue_.size() < static_cast<size_t>(queue_depth_) ||
+                     stop_;
+            });
+            if (stop_) return;
+            queue_.push_back(std::move(sentinel));
+          }
+          cv_not_empty_.notify_one();
+        }
+        continue;
+      }
+      consecutive_failures_ = 0;
 
       Item item;
       item.index = idx;
@@ -218,6 +249,8 @@ class Loader {
   std::condition_variable cv_not_empty_, cv_not_full_;
   std::deque<Item> queue_;
   std::vector<std::thread> workers_;
+  std::atomic<int64_t> dropped_{0};
+  std::atomic<int64_t> consecutive_failures_{0};
   bool stop_;
 };
 
@@ -234,6 +267,10 @@ void* loader_create(const char** paths, int64_t n, int size, int num_threads,
 
 void loader_next(void* handle, int n, uint8_t* images, int64_t* indices) {
   static_cast<Loader*>(handle)->next(n, images, indices);
+}
+
+int64_t loader_dropped(void* handle) {
+  return static_cast<Loader*>(handle)->dropped();
 }
 
 void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

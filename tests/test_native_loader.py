@@ -130,3 +130,45 @@ def test_triplet_training_with_streaming_and_native_loader(tmp_path):
                            labeled_targets=train_m.targets)
         loss = trainer.train_one(epoch=1)
         assert np.isfinite(loss.avg)
+
+
+def test_corrupt_files_are_loud(tmp_path):
+    """Robustness contract for corrupt inputs: the infinite stream stays
+    fixed-shape but WARNS about skipped files (silent data loss is not
+    allowed), sample() RAISES naming the bad row (a specific-row request
+    cannot be substituted), and an all-corrupt manifest raises instead of
+    blocking forever on an empty queue."""
+    import cv2
+
+    from endoscopy_tpu.data.native_loader import NativeCanonicalLoader
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 255, (48, 48, 3), np.uint8))
+        paths.append(p)
+    open(paths[3], "wb").close()  # zero-byte file
+    m = Manifest(paths=np.array(paths, dtype=object),
+                 targets=np.arange(6, dtype=np.int64))
+
+    loader = NativeCanonicalLoader(m, batch_size=6, size=32, num_threads=1)
+    # the prefetcher may recycle past the bad file several times before the
+    # first drain, so the count is >=1 skip EVENTS, not unique files
+    with pytest.warns(RuntimeWarning, match=r"skipped \d+ unreadable"):
+        imgs, targets = next(iter(loader))
+    assert imgs.shape == (6, 32, 32, 3)
+    assert (targets != 3).all()  # the corrupt row never enters the stream
+
+    with pytest.raises(RuntimeError, match="could not decode 1 of 2"):
+        loader.sample(np.array([0, 3]))
+    out = loader.sample(np.array([0, 5]))  # valid rows still work
+    assert out.shape == (2, 32, 32, 3) and out.std() > 0
+    loader.close()
+
+    for p in paths:  # all-corrupt: raise, don't hang
+        open(p, "wb").close()
+    loader = NativeCanonicalLoader(m, batch_size=4, size=32, num_threads=1)
+    with pytest.raises(RuntimeError, match="no decodable image"):
+        next(iter(loader))
+    loader.close()
