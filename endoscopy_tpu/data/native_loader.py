@@ -13,6 +13,14 @@ Selected via ``DATA.LOADER: 'native'`` (cli/learn.py). Raises RuntimeError at
 construction when neither the prebuilt ``native/libendoloader.so`` nor a
 local g++/libjpeg toolchain is available, so callers can fall back to the
 cv2 loaders.
+
+Corrupt-input contract (deliberate divergence from the cv2 loaders, which
+raise like the reference's cv2-imread-returns-None crash): the infinite
+prefetch stream cannot raise from a C++ worker, so unreadable files are
+skipped to keep batches fixed-shape, a RuntimeWarning reports the running
+skip count, and an all-corrupt manifest raises instead of blocking.
+``sample()`` always raises on undecodable rows — specific-row requests
+cannot be substituted.
 """
 
 from __future__ import annotations
