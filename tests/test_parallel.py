@@ -146,6 +146,66 @@ def test_tp_equivalence_4x2_vs_1dev():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_comatch_tp_equivalence_4x2_vs_1dev():
+    """One CoMatch step on mesh(4,2) equals mesh(1,1) in loss, params AND
+    the carried CoMatchState (queue ring buffer, DA window) — the stateful
+    SSL path must stay exact under TP sharding, not just FixMatch's
+    stateless one (SURVEY.md §2.3 'CoMatch memory bank under DP')."""
+    from endoscopy_tpu.config.loader import default_config
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.comatch import CoMatch
+
+    def make_trainer(mesh_data, mesh_model):
+        cfg = default_config()
+        cfg.MODEL.NAME = "resnet_tiny"
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.MODEL.TYPE_SEMI = "CoMatch"
+        cfg.MODEL.LOW_DIM = 16
+        cfg.DATA.IMG_SIZE = 32
+        cfg.DATA.BATCH_SIZE = 8
+        cfg.DATA.MU = 2
+        cfg.TRAIN.EVAL_STEP = 1
+        cfg.TRAIN.DTYPE = "float32"
+        cfg.TRAIN.SEED = 11
+        cfg.TRAIN.MESH_DATA = mesh_data
+        cfg.TRAIN.MESH_MODEL = mesh_model
+        trainer = CoMatch(model=build_model(cfg), opt_func="SGD")
+        trainer.train_dl = trainer.valid_dl = None
+        trainer.get_config(cfg, labeled_targets=np.arange(4))
+        return trainer
+
+    rng = np.random.default_rng(3)
+    size = int(32 * 1.2)
+    x_lb = rng.integers(0, 255, (8, size, size, 3)).astype(np.uint8)
+    targets = rng.integers(0, 4, 8).astype(np.int64)
+    u = rng.integers(0, 255, (16, size, size, 3)).astype(np.uint8)
+    weights = jnp.ones(4, jnp.float32)
+
+    results = []
+    for mesh_data, mesh_model in ((4, 2), (1, 1)):
+        trainer = make_trainer(mesh_data, mesh_model)
+        state, cstate, loss, _ = trainer._train_step(
+            trainer.state, trainer.comatch_state,
+            *trainer._shard(x_lb, targets, u), weights,
+            jnp.asarray(True), jax.random.key(99))
+        results.append((float(loss), jax.tree.leaves(state.params),
+                        jax.tree.leaves(cstate)))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    # Looser than the FixMatch TP test: CoMatch's graph-contrastive softmax
+    # losses amplify f32 reduction-order noise in the grads (measured across
+    # mesh layouts: max |diff| 1.2e-5 on O(1e-4) conv-kernel entries, 0.17%
+    # of elements). Params are O(0.1), so atol=2e-5 is ~4 orders below param
+    # scale; a wrong PartitionSpec produces O(1) divergence on most elements.
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    for a, b in zip(results[0][2], results[1][2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_shard_for_host_called_from_build_data(tmp_path, monkeypatch):
     """Simulated 2-process run: build_data loads only this host's manifest
     slice at the per-host batch size."""
