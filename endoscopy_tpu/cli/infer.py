@@ -14,6 +14,10 @@ Usage::
     python -m endoscopy_tpu.cli.infer --model model.jaxexport \
         --images in.csv --root <image_root> --out preds.csv \
         [--size 134] [--column image] [--batch 32] [--thres 0.9]
+
+``--size``/``--batch`` default to the contract recorded in the artifact
+itself (``load_exported`` exposes ``input_size``/``batch``/``num_classes``);
+passing mismatching values fails fast instead of feeding wrong shapes.
 """
 
 from __future__ import annotations
@@ -35,11 +39,13 @@ def main(argv=None) -> None:
     parser.add_argument("--root", default="",
                         help="prefix joined to each image path")
     parser.add_argument("--out", required=True)
-    parser.add_argument("--size", type=int, required=True,
-                        help="canonical input edge the artifact was exported "
-                             "with (printed by cli.export_model)")
+    parser.add_argument("--size", type=int, default=None,
+                        help="canonical input edge; defaults to the size "
+                             "recorded in the artifact itself")
     parser.add_argument("--column", default="image")
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="serving batch; defaults to the artifact's "
+                             "pinned batch, else 32")
     parser.add_argument("--thres", type=float, default=None,
                         help="emit pred = argmax * [max_prob > thres]")
     args = parser.parse_args(argv)
@@ -47,6 +53,18 @@ def main(argv=None) -> None:
     from endoscopy_tpu.data.pipeline import decode_canonical
 
     infer = load_exported(args.model)
+    if args.size is None:
+        args.size = infer.input_size
+    elif args.size != infer.input_size:
+        raise SystemExit(
+            f"--size {args.size} does not match the artifact's input edge "
+            f"{infer.input_size}")
+    if args.batch is None:
+        args.batch = infer.batch or 32
+    elif infer.batch is not None and args.batch != infer.batch:
+        raise SystemExit(
+            f"--batch {args.batch} does not match the artifact's pinned "
+            f"batch {infer.batch}")
     df = pd.read_csv(args.images)
     paths = [os.path.join(args.root, p) if args.root else p
              for p in df[args.column].astype(str)]

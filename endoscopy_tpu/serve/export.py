@@ -117,6 +117,9 @@ def load_exported(path: str):
 
     Needs only jax at the serving site; the module rehydrates the StableHLO
     program with its baked weights and compiles for the local backend.
+    The returned callable carries the artifact's own contract as attributes:
+    ``input_size`` (canonical edge), ``num_classes``, and ``batch``
+    (pinned size, or None when the batch dimension is symbolic).
     """
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -126,4 +129,8 @@ def load_exported(path: str):
     def infer(batch_u8: np.ndarray) -> np.ndarray:
         return np.asarray(exported.call(jnp.asarray(batch_u8, jnp.uint8)))
 
+    in_shape = exported.in_avals[0].shape
+    infer.input_size = int(in_shape[1])
+    infer.batch = int(in_shape[0]) if isinstance(in_shape[0], int) else None
+    infer.num_classes = int(exported.out_avals[0].shape[-1])
     return infer

@@ -182,14 +182,24 @@ def test_infer_cli_pinned_batch_ragged_csv(dataset_root, tmp_path):
     csv = tmp_path / "imgs.csv"
     pd.DataFrame({"image": files}).to_csv(csv, index=False)
 
+    # no --size/--batch: the CLI reads the contract from the artifact itself
     preds = tmp_path / "preds.csv"
     infer_cli.main(["--model", str(out), "--images", str(csv),
-                    "--root", dataset_root, "--out", str(preds),
-                    "--size", str(canonical_size(cfg)), "--batch", "4"])
+                    "--root", dataset_root, "--out", str(preds)])
     got = pd.read_csv(preds)
     assert len(got) == 6
     assert got["pred"].between(0, 3).all()
     assert got["max_prob"].between(0.0, 1.0).all()
+
+    # mismatching explicit values fail fast
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--model", str(out), "--images", str(csv),
+                        "--root", dataset_root, "--out", str(preds),
+                        "--size", str(canonical_size(cfg) + 6)])
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--model", str(out), "--images", str(csv),
+                        "--root", dataset_root, "--out", str(preds),
+                        "--batch", "8"])
 
 
 @pytest.fixture(scope="module")
