@@ -206,6 +206,55 @@ def test_comatch_tp_equivalence_4x2_vs_1dev():
                                    rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_supervised_triplet_dp_equivalence_8dev_vs_1dev():
+    """One supervised TRIPLET step (3B anchor/pos/neg images through
+    ModelwEmb + triplet loss — also EZBM's stage-1 step) on mesh(8,1)
+    equals mesh(1,1) in loss and params, completing mesh-equivalence
+    coverage across the trainer families."""
+    from endoscopy_tpu.config.loader import default_config
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.supervised import SupLearning
+
+    def make_trainer(mesh_data):
+        cfg = default_config()
+        cfg.MODEL.NAME = "resnet_tiny"
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.MODEL.IS_TRIPLET = True
+        cfg.MODEL.LOW_DIM = 16
+        cfg.DATA.IMG_SIZE = 32
+        cfg.DATA.BATCH_SIZE = 8
+        cfg.TRAIN.EVAL_STEP = 1
+        cfg.TRAIN.DTYPE = "float32"
+        cfg.TRAIN.SEED = 13
+        cfg.TRAIN.MESH_DATA = mesh_data
+        cfg.TRAIN.MESH_MODEL = 1
+        trainer = SupLearning(model=build_model(cfg), opt_func="SGD")
+        trainer.train_dl = trainer.valid_dl = None
+        trainer.get_config(cfg, labeled_targets=np.arange(4))
+        return trainer
+
+    rng = np.random.default_rng(4)
+    size = int(32 * 1.2)
+    x3 = rng.integers(0, 255, (24, size, size, 3)).astype(np.uint8)
+    targets = rng.integers(0, 4, 8).astype(np.int64)
+    weights = jnp.ones(4, jnp.float32)
+
+    results = []
+    for mesh_data in (8, 1):
+        trainer = make_trainer(mesh_data)
+        state, loss, aux = trainer._train_step(
+            trainer.state, *trainer._shard(x3, targets), weights,
+            jax.random.key(77))
+        assert len(aux) == 2  # (d_ap, d_an): the triplet branch really ran
+        results.append((float(loss), jax.tree.leaves(state.params)))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_shard_for_host_called_from_build_data(tmp_path, monkeypatch):
     """Simulated 2-process run: build_data loads only this host's manifest
     slice at the per-host batch size."""
