@@ -255,6 +255,60 @@ def test_supervised_triplet_dp_equivalence_8dev_vs_1dev():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_semiformer_dp_equivalence_8dev_vs_1dev():
+    """One SemiFormer FixMatch-phase step (dual-head Conformer, conv-head
+    pseudo-labels driving both heads' consistency) on mesh(8,1) equals
+    mesh(1,1) in loss and params — the last of the four distinct step
+    programs (FixMatch/CoMatch/supervised-triplet/SemiFormer) verified
+    mesh-equivalent."""
+    import jax.numpy as jnp_  # noqa: F401 (kept local for parity with peers)
+
+    from endoscopy_tpu.config.loader import default_config
+    from endoscopy_tpu.models.conformer import Conformer
+    from endoscopy_tpu.train.semiformer import SemiFormer
+
+    def make_trainer(mesh_data):
+        cfg = default_config()
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.MODEL.TYPE_SEMI = "SemiFormer"
+        cfg.DATA.IMG_SIZE = 64  # patch-16 tokenization needs a few tokens
+        cfg.DATA.BATCH_SIZE = 8
+        cfg.DATA.MU = 1
+        cfg.TRAIN.EVAL_STEP = 1
+        cfg.TRAIN.DTYPE = "float32"
+        cfg.TRAIN.SEED = 17
+        cfg.TRAIN.MESH_DATA = mesh_data
+        cfg.TRAIN.MESH_MODEL = 1
+        model = Conformer(num_classes=4, patch_size=16, channel_ratio=1,
+                          embed_dim=24, depth=3, num_heads=2, mlp_ratio=2.0,
+                          dtype=jnp.float32)
+        trainer = SemiFormer(model=model, opt_func="SGD")
+        trainer.train_dl = trainer.valid_dl = None
+        trainer.get_config(cfg, labeled_targets=np.arange(4))
+        return trainer
+
+    rng = np.random.default_rng(5)
+    size = int(64 * 1.2)
+    x_lb = rng.integers(0, 255, (8, size, size, 3)).astype(np.uint8)
+    targets = rng.integers(0, 4, 8).astype(np.int64)
+    u = rng.integers(0, 255, (8, size, size, 3)).astype(np.uint8)
+    weights = jnp.ones(4, jnp.float32)
+
+    results = []
+    for mesh_data in (8, 1):
+        trainer = make_trainer(mesh_data)
+        state, loss = trainer._fixmatch_step(
+            trainer.state, *trainer._shard(x_lb, targets, u), weights,
+            jax.random.key(55))
+        results.append((float(loss), jax.tree.leaves(state.params)))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_shard_for_host_called_from_build_data(tmp_path, monkeypatch):
     """Simulated 2-process run: build_data loads only this host's manifest
     slice at the per-host batch size."""
