@@ -221,3 +221,46 @@ def eval_view(batch_u8: jnp.ndarray, img_size: int, dtype=jnp.float32) -> jnp.nd
     x = _to_float(batch_u8, dtype)
     out = jax.vmap(partial(_center, img_size=img_size))(x)
     return normalize(out, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Paper-reproduction views (reproduce_transform, dataset.py:111-132; reached
+# via get_transform(is_reprod=True) from Train.ipynb's kaggle_reproduce
+# cell). The torch stack Resize(256)->CenterCrop(256)->Resize(224) collapses
+# to ONE deterministic bilinear resize on the square canonical batch; train
+# adds hflip/vflip p=0.5 and a uniform ±90° rotation; normalization is
+# mean=std=0.5 (NOT ImageNet). Select with DATA.IS_REPROD.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_half(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    return (img / 255.0 * 2.0 - 1.0).astype(dtype)
+
+
+def _resize_square(img: jnp.ndarray, img_size: int) -> jnp.ndarray:
+    return jax.image.resize(
+        img, (img_size, img_size, img.shape[-1]), method="linear")
+
+
+def _reproduce_train_one(img, key, img_size: int):
+    img = _resize_square(img, img_size)
+    k_h, k_v, k_rot = jax.random.split(key, 3)
+    img = _maybe(ops.hflip, img, k_h, 0.5)
+    img = _maybe(ops.vflip, img, k_v, 0.5)
+    angle = jax.random.uniform(k_rot, (), minval=-90.0, maxval=90.0)
+    return ops.rotate(img, angle, max_degrees=90.0)
+
+
+def reproduce_train_view(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    x = _to_float(batch_u8, dtype)
+    keys = jax.random.split(key, x.shape[0])
+    out = jax.vmap(partial(_reproduce_train_one, img_size=img_size))(x, keys)
+    return _normalize_half(out, dtype)
+
+
+def reproduce_eval_view(batch_u8: jnp.ndarray, img_size: int,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    x = _to_float(batch_u8, dtype)
+    out = jax.vmap(partial(_resize_square, img_size=img_size))(x)
+    return _normalize_half(out, dtype)

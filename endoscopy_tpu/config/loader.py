@@ -94,6 +94,9 @@ _DEFAULTS: dict = {
         "IS_CROP": True,
         "CANONICAL_SCALE": 1.2,
         "LOADER": "python",  # 'native' = C++ libjpeg loader (native/loader.cpp)
+        # paper-reproduction transforms (reproduce_transform,
+        # dataset.py:111-132; the notebook's get_data(is_reprod=True))
+        "IS_REPROD": False,
     },
     "MODEL": {
         "NUM_CLASSES": 6,

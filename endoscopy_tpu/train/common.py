@@ -161,13 +161,20 @@ class BaseTrainer:
     # -- evaluation ---------------------------------------------------------
 
     def _build_eval_step(self):
+        from endoscopy_tpu.aug.views import reproduce_eval_view
+
         model = self.model
         img_size = self.img_size
         dtype = self.dtype
+        # paper-reproduction eval transform (dataset.py:125-131) when
+        # DATA.IS_REPROD: deterministic resize + mean/std-0.5 normalize
+        view = (reproduce_eval_view
+                if bool(self.config.DATA.get("IS_REPROD", False))
+                else eval_view)
 
         @jax.jit
         def eval_step(params, batch_stats, batch_u8, targets, mask):
-            x = eval_view(batch_u8, img_size, dtype)
+            x = view(batch_u8, img_size, dtype)
             logits = model_logits(model, apply_eval(model, params, batch_stats, x))
             logits = logits.astype(jnp.float32)
             ce = cross_entropy(logits, targets, reduction="none")

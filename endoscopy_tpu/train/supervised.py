@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from endoscopy_tpu.aug.views import labeled_train_view
+from endoscopy_tpu.aug.views import labeled_train_view, reproduce_train_view
 from endoscopy_tpu.config.loader import is_none
 from endoscopy_tpu.losses import (
     angular_penalty_loss,
@@ -131,10 +131,16 @@ class SupLearning(BaseTrainer):
                          reduction="mean", type_loss="poly")
             return cl + lambda_c * tl, (new_bs, d_ap, d_an)
 
+        # paper-reproduction aug (dataset.py:111-132) when DATA.IS_REPROD;
+        # the reference reaches it via get_transform(is_reprod=True)
+        train_view = (reproduce_train_view
+                      if bool(self.config.DATA.get("IS_REPROD", False))
+                      else labeled_train_view)
+
         @jax.jit
         def train_step(state, batch_u8, targets, weights, rng):
             k_aug, k_drop = jax.random.split(rng)
-            x = labeled_train_view(batch_u8, k_aug, img_size, dtype)
+            x = train_view(batch_u8, k_aug, img_size, dtype)
 
             if is_triplet:
                 (loss, (new_bs, d_ap, d_an)), grads = jax.value_and_grad(

@@ -170,3 +170,34 @@ def test_random_crop_reflect_shape_and_content(img):
         for y in range(13) for x in range(13)
     )
     assert found
+
+
+def test_reproduce_views_contract():
+    """Paper-reproduction views (reproduce_transform, dataset.py:111-132):
+    eval = deterministic bilinear resize of the square canonical image +
+    mean/std-0.5 normalize (values in [-1,1]); train adds flips and a ±90°
+    rotation, is key-reproducible, and stays in range."""
+    from endoscopy_tpu.aug.views import (reproduce_eval_view,
+                                         reproduce_train_view)
+
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 255, (2, 58, 58, 3)).astype(np.uint8)
+
+    ev = np.asarray(reproduce_eval_view(jnp.asarray(batch), 48))
+    assert ev.shape == (2, 48, 48, 3)
+    assert ev.min() >= -1.0 - 1e-6 and ev.max() <= 1.0 + 1e-6
+    # matches PIL bilinear within resampling tolerance
+    ref = np.asarray(PIL.Image.fromarray(batch[0]).resize(
+        (48, 48), PIL.Image.BILINEAR)).astype(np.float32)
+    np.testing.assert_allclose(ev[0], ref / 255.0 * 2.0 - 1.0, atol=0.08)
+
+    tr1 = np.asarray(reproduce_train_view(jnp.asarray(batch),
+                                          jax.random.key(3), 48))
+    tr2 = np.asarray(reproduce_train_view(jnp.asarray(batch),
+                                          jax.random.key(3), 48))
+    tr3 = np.asarray(reproduce_train_view(jnp.asarray(batch),
+                                          jax.random.key(4), 48))
+    assert tr1.shape == (2, 48, 48, 3) and np.isfinite(tr1).all()
+    assert tr1.min() >= -1.0 - 1e-6 and tr1.max() <= 1.0 + 1e-6
+    np.testing.assert_array_equal(tr1, tr2)  # key-reproducible
+    assert not np.array_equal(tr1, tr3)      # rotation/flips actually drawn

@@ -280,3 +280,25 @@ def test_preview_does_not_consume_loader_rng(dataset):
     (img_b, tgt_b) = next(iter(without))
     np.testing.assert_array_equal(tgt_a, tgt_b)
     np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_supervised_reproduce_mode(dataset):
+    """DATA.IS_REPROD selects the paper-reproduction transforms
+    (reproduce_transform, dataset.py:111-132) in BOTH the train step and the
+    eval step: one epoch runs, loss finite, metrics computed."""
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"DATA.IS_REPROD": True})
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls_num_list = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0),
+        EvalLoader(valid_m, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, cls_num_list=cls_num_list,
+                       labeled_targets=train_m.targets)
+    loss = trainer.train_one(epoch=1)
+    assert np.isfinite(loss.avg)
+    valid_loss, metric = trainer.evaluate_one()
+    assert np.isfinite(valid_loss.avg)
+    assert 0.0 <= metric["macro/f1"] <= 1.0
