@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # geometry: shared inverse-affine warp
@@ -242,12 +243,15 @@ def vflip(img: jnp.ndarray) -> jnp.ndarray:
 # color ops (PIL ImageEnhance / ImageOps semantics)
 # ---------------------------------------------------------------------------
 
-_L_WEIGHTS = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# numpy on purpose: a jnp.array at module scope would initialize the jax
+# backend at import time, before consumers can pick a platform
+_L_WEIGHTS = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def _luminance(img: jnp.ndarray) -> jnp.ndarray:
     """PIL 'L' conversion: L = R*299/1000 + G*587/1000 + B*114/1000."""
-    return jnp.tensordot(img, _L_WEIGHTS.astype(img.dtype), axes=([-1], [0]))
+    return jnp.tensordot(img, jnp.asarray(_L_WEIGHTS, img.dtype),
+                         axes=([-1], [0]))
 
 
 def _blend(degenerate: jnp.ndarray, img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:

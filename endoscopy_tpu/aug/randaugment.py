@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from endoscopy_tpu.aug import ops
 
@@ -105,10 +106,12 @@ def _color_branches():
     ]
 
 
-# op index -> color branch index (geometric ops route to identity=5)
-_COLOR_LOOKUP = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 5, 7, 5, 5, 8, 5, 5])
-_IS_GEOMETRY = jnp.asarray([False, False, False, False, False, False, False,
-                            True, False, True, True, False, True, True])
+# op index -> color branch index (geometric ops route to identity=5).
+# numpy on purpose: module-scope jnp arrays would initialize the jax
+# backend at import time, before consumers can pick a platform.
+_COLOR_LOOKUP = np.asarray([0, 1, 2, 3, 4, 5, 6, 5, 7, 5, 5, 8, 5, 5])
+_IS_GEOMETRY = np.asarray([False, False, False, False, False, False, False,
+                           True, False, True, True, False, True, True])
 
 
 def sample_slot_params(key: jax.Array, m: int = 10):
@@ -135,10 +138,11 @@ def apply_slot(img: jnp.ndarray, op, v, sign, apply, m: int = 10) -> jnp.ndarray
     geo = ops._shift_cols(geo, s2, bound)
     geo = ops._shift_rows(geo, s3, bound)
 
-    color_idx = _COLOR_LOOKUP[op]
+    color_idx = jnp.asarray(_COLOR_LOOKUP)[op]
     color_out = jax.lax.switch(color_idx, _color_branches(), img, v)
 
-    out = jnp.where(_IS_GEOMETRY[op], geo, color_out.astype(img.dtype))
+    out = jnp.where(jnp.asarray(_IS_GEOMETRY)[op], geo,
+                    color_out.astype(img.dtype))
     return jnp.where(apply, out, img)
 
 
@@ -171,12 +175,13 @@ _PC_SHEAR_Y = 11
 _PC_TRANSLATE_X = 14
 _PC_TRANSLATE_Y = 15
 
-# op index -> color branch (geometry ops route to identity=11)
-_PC_COLOR_LOOKUP = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 11, 8, 11, 11, 9, 10,
-                                11, 11])
-_PC_IS_GEOMETRY = jnp.asarray([False, False, False, False, False, False,
-                               False, False, True, False, True, True, False,
-                               False, True, True])
+# op index -> color branch (geometry ops route to identity=11); numpy on
+# purpose (see _COLOR_LOOKUP note)
+_PC_COLOR_LOOKUP = np.asarray([0, 1, 2, 3, 4, 5, 6, 7, 11, 8, 11, 11, 9, 10,
+                               11, 11])
+_PC_IS_GEOMETRY = np.asarray([False, False, False, False, False, False,
+                              False, False, True, False, True, True, False,
+                              False, True, True])
 
 
 def _pc_geometry_shifts(op, v, sign, h: int, w: int):
@@ -257,11 +262,12 @@ def apply_pc_slot(img: jnp.ndarray, op, v, sign, apply, key,
     geo = ops._shift_cols(geo, s2, bound)
     geo = ops._shift_rows(geo, s3, bound)
 
-    color_idx = _PC_COLOR_LOOKUP[op]
+    color_idx = jnp.asarray(_PC_COLOR_LOOKUP)[op]
     color_out = jax.lax.switch(color_idx, _pc_color_branches(h, w),
                                img, v, sign, key)
 
-    out = jnp.where(_PC_IS_GEOMETRY[op], geo, color_out.astype(img.dtype))
+    out = jnp.where(jnp.asarray(_PC_IS_GEOMETRY)[op], geo,
+                    color_out.astype(img.dtype))
     return jnp.where(apply, out, img)
 
 

@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from endoscopy_tpu.aug import ops
 from endoscopy_tpu.aug.randaugment import randaugment_mc
@@ -41,14 +42,17 @@ def _randaugment_batch(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     keys = jax.random.split(key, x.shape[0])
     return jax.vmap(randaugment_mc)(x, keys)
 
-# ImageNet statistics (dataset.py:21-22)
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
+# ImageNet statistics (dataset.py:21-22). numpy on purpose: module-scope
+# jnp arrays would initialize the jax backend at import time, before
+# consumers can pick a platform.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def normalize(img: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """ToTensor + Normalize(mean, std) on [0,255] input."""
-    out = (img / 255.0 - IMAGENET_MEAN.astype(img.dtype)) / IMAGENET_STD.astype(img.dtype)
+    out = ((img / 255.0 - jnp.asarray(IMAGENET_MEAN, img.dtype))
+           / jnp.asarray(IMAGENET_STD, img.dtype))
     return out.astype(dtype)
 
 

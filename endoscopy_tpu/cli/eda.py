@@ -48,7 +48,8 @@ def chart(df: pd.DataFrame, target: str, save_path: str) -> bool:
     Returns True when the PNG was written, False when matplotlib is
     unavailable (headless pods).
     """
-    from endoscopy_tpu.eval.visualize import _plt
+    # standalone plotting guard — must not pull jax into the EDA CLI
+    from endoscopy_tpu.utils.plotting import _plt
 
     counts = df[target].value_counts().sort_values(ascending=False)
     plt = _plt()

@@ -181,8 +181,11 @@ class NativeCanonicalLoader:
             missing = sorted(set(range(len(indices))) -
                              set(g for g in got.tolist() if g >= 0))
             bad = [str(self.manifest.paths[indices[m]]) for m in missing[:4]]
+            # report unique undecodable rows, not the racy skip-event count
+            # (the recycling worker may re-fail a bad row several times
+            # before the drain finishes)
             raise RuntimeError(
-                f"native loader could not decode {max(dropped, len(missing))}"
+                f"native loader could not decode {len(missing)}"
                 f" of {len(indices)} sampled image(s): {bad}")
         # single worker decodes sequentially, but reorder defensively
         out = np.empty_like(imgs)

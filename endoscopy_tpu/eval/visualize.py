@@ -14,14 +14,7 @@ from endoscopy_tpu.aug.views import IMAGENET_MEAN, IMAGENET_STD
 from endoscopy_tpu.eval.metrics import confusion_matrix
 
 
-def _plt():
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        return plt
-    except ImportError:  # pragma: no cover
-        return None
+from endoscopy_tpu.utils.plotting import _plt
 
 
 def denormalize(img: np.ndarray) -> np.ndarray:
@@ -106,12 +99,16 @@ def preview_views(config, train_dl, save_path: Optional[str] = None,
 
     size = int(config.DATA.IMG_SIZE)
     key = jax.random.PRNGKey(seed)
+    # the preview must render the EXACT view the trainer will use
+    train_view = (V.reproduce_train_view
+                  if bool(config.DATA.get("IS_REPROD", False))
+                  else V.labeled_train_view)
     if config.TRAIN.IS_SSL:
         lab_dl, unl_dl = train_dl
         lab_u8, _ = _first_rows(lab_dl, 1)
         unl_u8, _ = _first_rows(unl_dl, 1)
         k_lab, k_unl = jax.random.split(key)
-        lab = V.labeled_train_view(jnp.asarray(lab_u8[:1]), k_lab, size)
+        lab = train_view(jnp.asarray(lab_u8[:1]), k_lab, size)
         if config.MODEL.TYPE_SEMI == "CoMatch":
             w, s0, s1 = V.comatch_views(jnp.asarray(unl_u8[:1]), k_unl, size)
             imgs = [lab[0], w[0], s0[0], s1[0]]
@@ -132,11 +129,11 @@ def preview_views(config, train_dl, save_path: Optional[str] = None,
             pair = train_dl.sample(np.array(
                 [rng.choice(pos_pool), rng.choice(neg_pool)]))
             trio = np.concatenate([batch_u8[:1], pair], axis=0)
-            out = V.labeled_train_view(jnp.asarray(trio), key, size)
+            out = train_view(jnp.asarray(trio), key, size)
             imgs = [out[0], out[1], out[2]]
         else:
             n = min(4, batch_u8.shape[0])
-            out = V.labeled_train_view(jnp.asarray(batch_u8[:n]), key, size)
+            out = train_view(jnp.asarray(batch_u8[:n]), key, size)
             imgs = [out[i] for i in range(n)]
     return show_grid([np.asarray(im) for im in imgs], save_path=save_path)
 

@@ -59,20 +59,26 @@ def load_eval_params(config, checkpoint: str):
     return model, state.params, state.batch_stats
 
 
-def make_infer_fn(model, params, batch_stats, img_size: int, dtype):
+def make_infer_fn(model, params, batch_stats, img_size: int, dtype,
+                  is_reprod: bool = False):
     """Closure over baked weights: canonical uint8 batch → softmax probs.
 
     Mirrors the trainers' jitted eval step (train/common.py::_build_eval_step)
-    minus the loss/mask plumbing: the deployed graph IS the evaluated graph.
+    minus the loss/mask plumbing: the deployed graph IS the evaluated graph —
+    including the DATA.IS_REPROD paper-reproduction eval transform when the
+    checkpoint was trained with it (resize + mean/std-0.5 normalize instead
+    of center-crop + ImageNet normalize).
     """
     import jax
     import jax.numpy as jnp
 
-    from endoscopy_tpu.aug.views import eval_view
+    from endoscopy_tpu.aug.views import eval_view, reproduce_eval_view
     from endoscopy_tpu.train.common import apply_eval, model_logits
 
+    view = reproduce_eval_view if is_reprod else eval_view
+
     def infer(batch_u8):
-        x = eval_view(batch_u8, img_size, dtype)
+        x = view(batch_u8, img_size, dtype)
         logits = model_logits(model, apply_eval(model, params, batch_stats, x))
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -99,7 +105,8 @@ def export_model(config, checkpoint: str, out_path: str,
              if config.TRAIN.get("DTYPE", "bfloat16") == "bfloat16"
              else jnp.float32)
     infer = make_infer_fn(model, params, batch_stats,
-                          int(config.DATA.IMG_SIZE), dtype)
+                          int(config.DATA.IMG_SIZE), dtype,
+                          is_reprod=bool(config.DATA.get("IS_REPROD", False)))
 
     if batch is None:
         (b,) = jax_export.symbolic_shape("b")

@@ -98,9 +98,19 @@ class BaseTrainer:
 
     # -- config -------------------------------------------------------------
 
+    # set True by trainers whose train step implements the DATA.IS_REPROD
+    # paper-reproduction transforms (reproduce_transform, dataset.py:111-132)
+    _supports_reprod = False
+
     def _setup_common(self, config, n_iter_per_epoch: int,
                       labeled_targets: Optional[np.ndarray]) -> None:
         self.config = config
+        if bool(config.DATA.get("IS_REPROD", False)) and \
+                not self._supports_reprod:
+            raise ValueError(
+                "DATA.IS_REPROD selects the supervised paper-reproduction "
+                f"transforms; trainer {type(self).__name__} does not "
+                "implement them (train/eval views would silently mismatch)")
         self.mesh = mesh_from_config(config)
         self.img_size = int(config.DATA.IMG_SIZE)
         self.dtype = (jnp.bfloat16 if config.TRAIN.get("DTYPE", "bfloat16") == "bfloat16"

@@ -44,6 +44,8 @@ from endoscopy_tpu.utils.meters import AverageMeter
 
 
 class SupLearning(BaseTrainer):
+    _supports_reprod = True  # DATA.IS_REPROD (reproduce_transform) wired
+
     trainer_name = "SupLearning"
 
     def get_config(self, config, cls_num_list: Optional[list] = None,

@@ -157,6 +157,11 @@ class Loader {
       }
     }
     cursor_ = 0;
+    // The all-corrupt sentinel means "a full pass decoded nothing", so the
+    // failure streak must not straddle pass boundaries: with 1 good file of
+    // N, the tail of pass k plus the head of pass k+1 can exceed N even
+    // though every pass yields a valid item.
+    consecutive_failures_ = 0;
   }
 
   int64_t next_index() {

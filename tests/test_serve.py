@@ -209,3 +209,28 @@ def dataset_root(tmp_path_factory):
         root, num_classes=4, n_train=16, n_valid=8, n_unlabeled=8,
         img_size=40)
     return img_root
+
+
+def test_export_honors_is_reprod(dataset_root, tmp_path):
+    """A DATA.IS_REPROD checkpoint must export the reproduce eval transform
+    (resize + mean/std-0.5), not the ImageNet center-crop — the artifact's
+    eval semantics must match the trainer's eval step."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.serve.export import (export_model, load_exported,
+                                            make_infer_fn)
+
+    cfg = make_config(dataset_root, **{"DATA.IS_REPROD": True})
+    model, state, ckpt = _save_state(cfg, tmp_path / "cp")
+    out = tmp_path / "reprod.jaxexport"
+    size, _ = export_model(cfg, ckpt, str(out), platforms=("cpu",))
+
+    batch = np.random.default_rng(2).integers(
+        0, 255, (4, size, size, 3)).astype(np.uint8)
+    got = load_exported(str(out))(batch)
+    reprod_live = make_infer_fn(model, state.params, state.batch_stats, IMG,
+                                jnp.float32, is_reprod=True)(batch)
+    imagenet_live = make_infer_fn(model, state.params, state.batch_stats,
+                                  IMG, jnp.float32)(batch)
+    np.testing.assert_allclose(got, np.asarray(reprod_live), atol=1e-5)
+    assert not np.allclose(got, np.asarray(imagenet_live), atol=1e-5)

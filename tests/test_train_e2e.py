@@ -302,3 +302,23 @@ def test_supervised_reproduce_mode(dataset):
     valid_loss, metric = trainer.evaluate_one()
     assert np.isfinite(valid_loss.avg)
     assert 0.0 <= metric["macro/f1"] <= 1.0
+
+
+def test_is_reprod_rejected_outside_supervised(dataset):
+    """DATA.IS_REPROD is the supervised paper-reproduction path; SSL/EZBM
+    trainers must refuse it loudly instead of silently mismatching train
+    and eval transforms."""
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"DATA.IS_REPROD": True,
+                                   "TRAIN.IS_SSL": True})
+    df = pd.read_csv(anno_csv)
+    labeled, unlabeled, valid, _ = build_ssl_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        (CanonicalLoader(labeled, cfg.DATA.BATCH_SIZE, size, seed=0),
+         CanonicalLoader(unlabeled, cfg.DATA.BATCH_SIZE * cfg.DATA.MU, size,
+                         seed=1)),
+        EvalLoader(valid, cfg.DATA.BATCH_SIZE, size))
+    with pytest.raises(ValueError, match="IS_REPROD"):
+        trainer.get_config(cfg, labeled_targets=labeled.targets)
