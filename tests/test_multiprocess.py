@@ -97,7 +97,10 @@ def test_two_process_dcn_equals_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=420)
+            # generous: two workers share the 1-core CI host with the rest
+            # of the slow tier's residual load (measured 229 s standalone,
+            # but the 420 s budget flaked in-suite once)
+            stdout, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
