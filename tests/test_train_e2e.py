@@ -322,3 +322,32 @@ def test_is_reprod_rejected_outside_supervised(dataset):
         EvalLoader(valid, cfg.DATA.BATCH_SIZE, size))
     with pytest.raises(ValueError, match="IS_REPROD"):
         trainer.get_config(cfg, labeled_targets=labeled.targets)
+
+
+def test_supervised_margin_branch_e2e(dataset):
+    """MODEL.MARGIN selects the angular-penalty branch (reference
+    supervised.py:117-119: AngularPenaltySMLoss on backbone features against
+    the bias-free fc kernel): one epoch trains, loss finite and decreasing
+    over a few epochs, eval produces metrics."""
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"MODEL.MARGIN": "arcface"})
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls_num_list = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0),
+        EvalLoader(valid_m, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, cls_num_list=cls_num_list,
+                       labeled_targets=train_m.targets)
+    assert trainer.margin == "arcface"  # the branch under test is live
+    first = trainer.train_one(epoch=1)
+    assert np.isfinite(first.avg)
+    last = first
+    for epoch in range(2, 5):
+        last = trainer.train_one(epoch=epoch)
+    assert last.avg < first.avg, (
+        f"margin branch not learning: {first.avg} -> {last.avg}")
+    valid_loss, metric = trainer.evaluate_one()
+    assert np.isfinite(valid_loss.avg)
+    assert 0.0 <= metric["macro/f1"] <= 1.0
