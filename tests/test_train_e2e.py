@@ -351,3 +351,42 @@ def test_supervised_margin_branch_e2e(dataset):
     valid_loss, metric = trainer.evaluate_one()
     assert np.isfinite(valid_loss.avg)
     assert 0.0 <= metric["macro/f1"] <= 1.0
+
+
+def test_is_freeze_trains_head_only(dataset):
+    """TRAIN.IS_FREEZE freezes the backbone and trains the head only
+    (reference freeze policy fixmatch.py:40-52): after one FixMatch step the
+    backbone params are bit-identical while head params moved. EMA still
+    tracks the full tree."""
+    import jax
+
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"TRAIN.IS_SSL": True,
+                                   "TRAIN.IS_FREEZE": True})
+    df = pd.read_csv(anno_csv)
+    labeled, unlabeled, valid, _ = build_ssl_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        (CanonicalLoader(labeled, cfg.DATA.BATCH_SIZE, size, seed=0),
+         CanonicalLoader(unlabeled, cfg.DATA.BATCH_SIZE * cfg.DATA.MU, size,
+                         seed=1)),
+        EvalLoader(valid, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, labeled_targets=labeled.targets)
+
+    before = jax.tree.map(np.asarray, trainer.state.params)
+    trainer.train_one(epoch=1)
+    after = jax.tree.map(np.asarray, trainer.state.params)
+
+    def flat(tree):
+        return {jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    b, a = flat(before), flat(after)
+    backbone = [k for k in b if k.startswith("['backbone']")]
+    head = [k for k in b if not k.startswith("['backbone']")]
+    assert backbone and head
+    assert all(np.array_equal(b[k], a[k]) for k in backbone), \
+        "frozen backbone params moved"
+    assert any(not np.array_equal(b[k], a[k]) for k in head), \
+        "head params did not train"
