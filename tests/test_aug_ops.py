@@ -201,3 +201,55 @@ def test_reproduce_views_contract():
     assert tr1.min() >= -1.0 - 1e-6 and tr1.max() <= 1.0 + 1e-6
     np.testing.assert_array_equal(tr1, tr2)  # key-reproducible
     assert not np.array_equal(tr1, tr3)      # rotation/flips actually drawn
+
+
+# ---------------------------------------------------------------------------
+# Property tests: geometry ops vs PIL across the whole parameter range, not
+# just hand-picked magnitudes. hypothesis drives shear coefficients and
+# translation pixel counts through the exact ranges RandAugmentMC draws from
+# (randaugment.py:147-163: shear |v|<=0.3, translate |px|<=0.3*W).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PROP_IMG = np.random.default_rng(7).integers(
+    0, 255, (24, 24, 3)).astype(np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(v=st.floats(min_value=-0.3, max_value=0.3,
+                   allow_nan=False, allow_subnormal=False))
+def test_shear_x_property(v):
+    h, w = _PROP_IMG.shape[:2]
+    ref = np.array(pil(_PROP_IMG).transform(
+        (w, h), PIL.Image.AFFINE, (1, v, 0, 0, 1, 0)))
+    ours = np.asarray(ops.shear_x(jx(_PROP_IMG), float(v)))
+    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
+    assert bad.mean() < 0.08, (v, bad.mean())
+
+
+@settings(max_examples=25, deadline=None)
+@given(v=st.floats(min_value=-0.3, max_value=0.3,
+                   allow_nan=False, allow_subnormal=False))
+def test_shear_y_property(v):
+    h, w = _PROP_IMG.shape[:2]
+    ref = np.array(pil(_PROP_IMG).transform(
+        (w, h), PIL.Image.AFFINE, (1, 0, 0, v, 1, 0)))
+    ours = np.asarray(ops.shear_y(jx(_PROP_IMG), float(v)))
+    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
+    assert bad.mean() < 0.08, (v, bad.mean())
+
+
+@settings(max_examples=25, deadline=None)
+@given(px=st.integers(min_value=-7, max_value=7))
+def test_translate_property(px):
+    h, w = _PROP_IMG.shape[:2]
+    ref = np.array(pil(_PROP_IMG).transform(
+        (w, h), PIL.Image.AFFINE, (1, 0, px, 0, 1, 0)))
+    ours = np.asarray(ops.translate_x(jx(_PROP_IMG), float(px)))
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
+    ref = np.array(pil(_PROP_IMG).transform(
+        (w, h), PIL.Image.AFFINE, (1, 0, 0, 0, 1, px)))
+    ours = np.asarray(ops.translate_y(jx(_PROP_IMG), float(px)))
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
