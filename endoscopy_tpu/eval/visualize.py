@@ -17,9 +17,12 @@ from endoscopy_tpu.eval.metrics import confusion_matrix
 from endoscopy_tpu.utils.plotting import _plt
 
 
-def denormalize(img: np.ndarray) -> np.ndarray:
-    """Undo ImageNet normalization for display (utils.py:70-81)."""
-    out = np.asarray(img) * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+def denormalize(img: np.ndarray, mean=None, std=None) -> np.ndarray:
+    """Undo normalization for display (utils.py:70-81). Defaults to the
+    ImageNet statistics; reproduce-mode images pass mean=std=0.5."""
+    mean = IMAGENET_MEAN if mean is None else mean
+    std = IMAGENET_STD if std is None else std
+    out = np.asarray(img) * np.asarray(std) + np.asarray(mean)
     return np.clip(out, 0.0, 1.0)
 
 
@@ -48,9 +51,10 @@ def show_cfs_matrix(targets, preds, num_classes: int, percent: bool = False,
     return cm
 
 
-def show_grid(images: Sequence[np.ndarray], save_path: Optional[str] = None):
+def show_grid(images: Sequence[np.ndarray], save_path: Optional[str] = None,
+              mean=None, std=None):
     """Row of de-normalized images (utils.py:98-117)."""
-    imgs = [denormalize(im) for im in images]
+    imgs = [denormalize(im, mean, std) for im in images]
     plt = _plt()
     if plt is not None:
         fig, axes = plt.subplots(1, len(imgs), figsize=(4 * len(imgs), 4))
@@ -135,6 +139,10 @@ def preview_views(config, train_dl, save_path: Optional[str] = None,
             n = min(4, batch_u8.shape[0])
             out = train_view(jnp.asarray(batch_u8[:n]), key, size)
             imgs = [out[i] for i in range(n)]
+    if bool(config.DATA.get("IS_REPROD", False)):
+        # reproduce views are mean/std-0.5 normalized, not ImageNet
+        return show_grid([np.asarray(im) for im in imgs],
+                         save_path=save_path, mean=0.5, std=0.5)
     return show_grid([np.asarray(im) for im in imgs], save_path=save_path)
 
 
