@@ -29,11 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from endoscopy_tpu.aug.randaugment import (
-    _COLOR_LOOKUP,
-    _IS_GEOMETRY,
-    sample_slot_params,
-)
+from endoscopy_tpu.aug.randaugment import sample_slot_params
 
 def _pad_for(size: int) -> int:
     """Max |row shift| any op can produce: shear/translate <= 0.27*size+1."""
