@@ -382,11 +382,39 @@ def run_table() -> dict:
     return results
 
 
+def _backend_watchdog(timeout_s: int = 600) -> None:
+    """Fail fast instead of hanging forever when the TPU relay is wedged:
+    backend init normally takes seconds; if jax.devices() hasn't returned
+    after ``timeout_s``, print a diagnosis and exit non-zero so the caller
+    sees a failed bench, not a hung one. (Observed 2026-08-17: a SIGKILLed
+    relay client can wedge the tunnel for hours; jax.devices() then blocks
+    indefinitely.)"""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def bark():
+        if not done.wait(timeout_s):
+            print(f"bench: jax backend init did not complete in {timeout_s}s"
+                  " — TPU relay wedged? Exiting instead of hanging.",
+                  file=sys.stderr, flush=True)
+            os._exit(17)
+
+    threading.Thread(target=bark, daemon=True).start()
+    import jax
+
+    jax.devices()
+    done.set()
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--table", action="store_true",
                         help="measure all reference paths, write BENCH_TABLE.md")
     args = parser.parse_args()
+
+    _backend_watchdog()
 
     if args.table:
         results = run_table()
