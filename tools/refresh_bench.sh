@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# One-shot refresh of every TPU-measured artifact, queued during the round-3
+# relay outage (PERF.md "Relay outage note"). Run on a healthy tunnel:
+#
+#   bash tools/refresh_bench.sh
+#
+# Produces/updates:
+#   - BENCH_TABLE.md (all rows incl. triplet_resnet50_224) + one JSON line
+#   - serving-path latency/throughput table (paste into docs/serving.md)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== backend probe (fails fast if the relay is wedged) =="
+timeout 700 python - <<'EOF'
+import sys; sys.path.insert(0, ".")
+from bench import _backend_watchdog
+_backend_watchdog(600)
+import jax
+print("devices:", jax.devices())
+EOF
+
+echo "== bench table (writes BENCH_TABLE.md; ~20-30 min of compiles) =="
+python bench.py --table
+
+echo "== serving bench =="
+python tools/bench_serving.py --calls 20
+
+echo "Done. Update README.md / PERF.md / docs/serving.md numbers and commit."
