@@ -390,3 +390,31 @@ def test_is_freeze_trains_head_only(dataset):
         "frozen backbone params moved"
     assert any(not np.array_equal(b[k], a[k]) for k in head), \
         "head params did not train"
+
+
+def test_rdw_branch_in_trainer(dataset, monkeypatch):
+    """TRAIN_RULE=RDW routes per-epoch effective-number weights into the
+    step (reference supervised.py:324-331): the trainer consults
+    rdw_weights with the CURRENT epoch each train_one call."""
+    import endoscopy_tpu.train.supervised as sup_mod
+
+    seen = []
+    real = sup_mod.rdw_weights
+    monkeypatch.setattr(
+        sup_mod, "rdw_weights",
+        lambda epoch, cls: (seen.append(epoch), real(epoch, cls))[1])
+
+    img_root, anno_csv, _, _ = dataset
+    cfg = make_config(img_root, **{"TRAIN.TRAIN_RULE": "RDW"})
+    df = pd.read_csv(anno_csv)
+    train_m, valid_m, cls_num_list = build_supervised_manifests(cfg, df)
+    size = canonical_size(cfg)
+    trainer = SupLearning(model=build_model(cfg), opt_func="Adam")
+    trainer.get_dataloader(
+        CanonicalLoader(train_m, cfg.DATA.BATCH_SIZE, size, seed=0),
+        EvalLoader(valid_m, cfg.DATA.BATCH_SIZE, size))
+    trainer.get_config(cfg, cls_num_list=cls_num_list,
+                       labeled_targets=train_m.targets)
+    trainer.train_one(epoch=1)
+    trainer.train_one(epoch=30)
+    assert seen == [1, 30]
