@@ -182,3 +182,46 @@ def test_cli_progressive_resizing_end_to_end(dataset, tmp_path, monkeypatch):
 
     learn_cli.main(["--config-1", paths[0], "--config-2", paths[1]])
     assert "state" in carried  # stage 2 received stage 1's weights
+
+
+def test_cli_progressive_resizing_ssl_end_to_end(dataset, tmp_path,
+                                                 monkeypatch):
+    """The reference's progressive-resizing pairs are FixMatch SSL runs
+    (kaggle_semisupervised_real_3_1.yaml 112px -> kaggle_semisupervised_
+    real_3.yaml 224px, learn.py:40-55): both SSL stages must run and stage 2
+    must start from stage 1's carried parameters."""
+    import yaml
+
+    from endoscopy_tpu.cli import learn as learn_cli
+
+    img_root, anno_csv, _, _ = dataset
+    carried = {}
+    real_carry = learn_cli.run_config
+
+    def spy_run_config(config, model=None, trainer_override=None,
+                       carry_state=None, **kw):
+        if carry_state is not None:
+            carried["state"] = carry_state
+        return real_carry(config, model=model,
+                          trainer_override=trainer_override,
+                          carry_state=carry_state, **kw)
+
+    monkeypatch.setattr(learn_cli, "run_config", spy_run_config)
+
+    paths = []
+    for i, size in enumerate((32, 48)):
+        cfg = {"DATA": {"PATH": img_root, "ANNO": anno_csv, "IMG_SIZE": size,
+                        "BATCH_SIZE": 8, "NUM_WORKERS": 0,
+                        "MOCKUP_SSL": True, "MU": 2},
+               "MODEL": {"NAME": "resnet_tiny", "NUM_CLASSES": 4,
+                         "TYPE_SEMI": "FixMatch"},
+               "TRAIN": {"IS_SSL": True, "EPOCHS": 1, "EVAL_STEP": 2,
+                         "DTYPE": "float32", "SAVE_CP": "",
+                         "STEPS_PER_CALL": 1}}
+        p = str(tmp_path / f"ssl_stage{i}.yaml")
+        with open(p, "w") as f:
+            yaml.safe_dump(cfg, f)
+        paths.append(p)
+
+    learn_cli.main(["--config-1", paths[0], "--config-2", paths[1]])
+    assert "state" in carried  # stage 2 received stage 1's weights
