@@ -63,9 +63,64 @@ _ARCHES: Dict[str, Tuple[List[Tuple[str, Any]], List[str]]] = {
             (r"^layer(\d+)\.(\d+)\.selayer\.conv_up", r"layer\1_\2.se.fc_up"),
             (r"^layer(\d+)\.(\d+)\.conv_down", r"layer\1_\2.se.fc_down"),
             (r"^layer(\d+)\.(\d+)\.conv_up", r"layer\1_\2.se.fc_up"),
+            # CBAM gate (reference cbam.py:27-100): shared-MLP channel gate
+            # Sequential indices + BasicConv spatial gate
+            (r"\.cbam\.ChannelGate\.mlp\.1", r".cbam.mlp_fc1"),
+            (r"\.cbam\.ChannelGate\.mlp\.3", r".cbam.mlp_fc2"),
+            (r"\.cbam\.SpatialGate\.spatial\.conv", r".cbam.spatial_conv"),
+            (r"\.cbam\.SpatialGate\.spatial\.bn", r".cbam.spatial_bn"),
+            # shuffle-attention gate (sa.py:14-31): gn child maps by name;
+            # the (1,C,1,1) gate weights reshape (see _RESHAPE_PATHS).
+            # SASA needs no rules either: the flax SASALayer is named 'conv2'
+            # like the reference's (sasa.py:193-196), so q/k/v convs and the
+            # bare rel encodings map via the generic layer rule.
             (r"^layer(\d+)\.(\d+)\.", r"layer\1_\2."),
         ],
         [r"^fc\b", r"^head\b", r"^classifier\b"],
+    ),
+    # reference vit_lsa.py:37-144 (ViT w/ shifted-patch tokenization and
+    # locality self-attention): Sequential/PreNorm wrappers flatten onto the
+    # flax per-depth names
+    "vit_lsa": (
+        [
+            (r"^to_patch_embedding\.to_patch_tokens\.1",
+             r"to_patch_embedding.norm"),
+            (r"^to_patch_embedding\.to_patch_tokens\.2",
+             r"to_patch_embedding.proj"),
+            (r"^transformer\.layers\.(\d+)\.0\.norm", r"norm1_\1"),
+            (r"^transformer\.layers\.(\d+)\.0\.fn\.to_out\.0", r"attn_\1.to_out"),
+            (r"^transformer\.layers\.(\d+)\.0\.fn\.to_qkv", r"attn_\1.to_qkv"),
+            (r"^transformer\.layers\.(\d+)\.0\.fn", r"attn_\1"),
+            (r"^transformer\.layers\.(\d+)\.1\.norm", r"norm2_\1"),
+            (r"^transformer\.layers\.(\d+)\.1\.fn\.net\.0", r"mlp1_\1"),
+            (r"^transformer\.layers\.(\d+)\.1\.fn\.net\.3", r"mlp2_\1"),
+        ],
+        [r"^mlp_head\b"],
+    ),
+    # reference coat_net.py:60-247: MBConv Sequential indices + the
+    # Rearrange/PreNorm-wrapped attention/ff stages
+    "coatnet": (
+        [
+            (r"^s0\.(\d+)\.0", r"s0_conv\1"),
+            (r"^s0\.(\d+)\.1", r"s0_bn\1"),
+            (r"^s(\d)\.(\d+)\.conv\.norm", r"s\1_block\2.pre_bn"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.0", r"s\1_block\2.pw"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.1", r"s\1_block\2.bn1"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.3", r"s\1_block\2.dw"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.4", r"s\1_block\2.bn2"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.6\.fc\.0", r"s\1_block\2.se_fc1"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.6\.fc\.2", r"s\1_block\2.se_fc2"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.7", r"s\1_block\2.pw_linear"),
+            (r"^s(\d)\.(\d+)\.conv\.fn\.8", r"s\1_block\2.bn3"),
+            (r"^s(\d)\.(\d+)\.attn\.1\.norm", r"s\1_block\2.attn_norm"),
+            (r"^s(\d)\.(\d+)\.attn\.1\.fn\.to_out\.0", r"s\1_block\2.attn.to_out"),
+            (r"^s(\d)\.(\d+)\.attn\.1\.fn", r"s\1_block\2.attn"),
+            (r"^s(\d)\.(\d+)\.ff\.1\.norm", r"s\1_block\2.ff_norm"),
+            (r"^s(\d)\.(\d+)\.ff\.1\.fn\.net\.0", r"s\1_block\2.ff1"),
+            (r"^s(\d)\.(\d+)\.ff\.1\.fn\.net\.3", r"s\1_block\2.ff2"),
+            (r"^s(\d)\.(\d+)\.proj", r"s\1_block\2.proj"),
+        ],
+        [r"^fc1\b", r"^fc2\b", r"relative_index$"],
     ),
     # torchvision/timm DenseNet (features.denseblockN.denselayerM...)
     "densenet": (
@@ -153,6 +208,9 @@ _ARCHES: Dict[str, Tuple[List[Tuple[str, Any]], List[str]]] = {
 # module path's last component.
 _RESHAPE_PATHS: Dict[str, re.Pattern] = {
     "swin_mlp": re.compile(r"^spatial_mlp$"),
+    # shuffle-attention gate weights are (1,C,1,1) in torch (sa.py:25-28),
+    # flat (C,) here
+    "resnet": re.compile(r"^sa$"),
 }
 
 # torch ModelwEmb checkpoints alias every backbone param twice:
@@ -177,6 +235,10 @@ def arch_for_model(name: str) -> str:
         return "conformer"
     if name.startswith("efficientnet"):
         return "efficientnet"
+    if name.startswith("vit"):
+        return "vit_lsa"
+    if name.startswith("coatnet"):
+        return "coatnet"
     raise NotImplementedError(
         f"no torch import key map for '{name}'; supported families: "
         f"{sorted(_ARCHES)}")

@@ -9,12 +9,20 @@ TPU-first re-implementations of the reference's attention modules:
 - SASA (sasa.py:22-84): stand-alone local self-attention over k×k windows
   with factorized relative positional encodings. Window extraction uses
   ``lax.conv_general_dilated_patches`` (the XLA-native unfold) so the QK^T
-  contraction maps onto the MXU. The reference's positional-encoding einsum
-  'bhxydz,cij->bhxyij' reduces q over depth and the encoding over channels —
-  an observed quirk replicated faithfully.
+  contraction maps onto the MXU. Two reference quirks are replicated
+  bit-faithfully (verified by tests/test_torch_parity.py):
+  (a) the positional-encoding einsum 'bhxydz,cij->bhxyij' reduces q over
+  depth and the encoding over channels; (b) the head split is a raw
+  row-major reshape (sasa.py:57-65) that interleaves depth with spatial
+  axes whenever depth-per-head > 1 — the torch code reshapes
+  (B,C,H,W,ks,ks) → (B,heads,H,W,dh,ks²) without a transpose.
 - HaloAttention (halo.py:75-165): blocked local attention where keys/values
   come from halo-extended blocks, with factorized relative position
-  embeddings.
+  embeddings. The reference's padding mask (halo.py:142-148) has inverted
+  polarity — ``masked_fill_(mask, -max)`` fills the VALID positions, so
+  attention lands only on the zero-padding keys; this module implements the
+  intended semantics (padding keys masked out). The parity test compares
+  against the polarity-corrected oracle and pins the deviation.
 """
 
 from __future__ import annotations
@@ -77,13 +85,15 @@ class ShuffleAttention(nn.Module):
         xn = cweight * xn + cbias
         x0 = x0 * nn.sigmoid(xn)
 
-        # spatial attention on x1: GroupNorm(half groups == per-channel) then gate
-        mean = jnp.mean(x1, axis=(1, 2), keepdims=True)
-        var = jnp.var(x1, axis=(1, 2), keepdims=True)
-        xs = (x1 - mean) * jax.lax.rsqrt(var + 1e-5)
-        gn_scale = self.param("gn_scale", nn.initializers.ones, (half,), jnp.float32)
-        gn_bias = self.param("gn_bias", nn.initializers.zeros, (half,), jnp.float32)
-        xs = xs * gn_scale + gn_bias
+        # spatial attention on x1: the reference's nn.GroupNorm(half, half)
+        # on (b*groups, half, h, w) puts one channel per norm group, i.e.
+        # per-(sample, group, channel) statistics over (h, w) — expressed
+        # here as a real flax GroupNorm child ("gn") so torch checkpoints
+        # import structurally (sa.py:31,57)
+        x1g = x1.transpose(0, 3, 1, 2, 4).reshape(b * self.groups, h, w, half)
+        xs = nn.GroupNorm(num_groups=half, epsilon=1e-5, dtype=jnp.float32,
+                          name="gn")(x1g)
+        xs = xs.reshape(b, self.groups, h, w, half).transpose(0, 2, 3, 1, 4)
         xs = sweight * xs + sbias
         x1 = x1 * nn.sigmoid(xs)
 
@@ -115,19 +125,22 @@ class SASALayer(nn.Module):
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v_conv")(padded)
 
         def unfold(t):
-            # (B, H, W, ks*ks*C) patches, channel-fastest ordering from XLA:
-            # output feature dim is C*ks*ks with spatial-major -> reshape below
+            # torch-logical-order patches: (B, C, H, W, ks, ks) (sasa.py:57-58)
             p = jax.lax.conv_general_dilated_patches(
                 t.transpose(0, 3, 1, 2), (ks, ks), (1, 1), "VALID")
             # p: (B, C*ks*ks, H, W) with channel-major [c, ki, kj]
-            p = p.reshape(b, c, ks * ks, h, w)
-            return p.transpose(0, 3, 4, 1, 2)  # (B, H, W, C, ks²)
+            p = p.reshape(b, c, ks, ks, h, w)
+            return p.transpose(0, 1, 4, 5, 2, 3)
 
-        ku = unfold(k).reshape(b, h, w, self.num_heads, dh, ks * ks)
-        vu = unfold(v).reshape(b, h, w, self.num_heads, dh, ks * ks)
-        qh = q.reshape(b, h, w, self.num_heads, dh)
+        # reference quirk (sasa.py:57-65): the head split is a raw row-major
+        # reshape of the (B,C,H,W,ks,ks)/(B,C,H,W) layouts — for dh > 1 it
+        # interleaves depth with spatial axes; jnp.reshape (also row-major)
+        # reproduces it exactly
+        ku = unfold(k).reshape(b, self.num_heads, h, w, dh, ks * ks)
+        vu = unfold(v).reshape(b, self.num_heads, h, w, dh, ks * ks)
+        qh = q.transpose(0, 3, 1, 2).reshape(b, self.num_heads, h, w, dh)
 
-        qk = jnp.einsum("bxyhd,bxyhdk->bxyhk", qh, ku,
+        qk = jnp.einsum("bhxyd,bhxydk->bhxyk", qh, ku,
                         preferred_element_type=jnp.float32)
 
         rel_h = self.param("rel_encoding_h", nn.initializers.normal(1.0),
@@ -136,16 +149,18 @@ class SASALayer(nn.Module):
                            (dh * self.num_heads // 2, 1, ks), jnp.float32)
         # reference quirk (sasa.py:70-73): q summed over depth × encoding
         # summed over channels, broadcast over the window
-        q_sum = jnp.sum(qh, axis=-1)  # (b, x, y, heads)
+        q_sum = jnp.sum(qh.astype(jnp.float32), axis=-1)  # (b, heads, x, y)
         qr_h = q_sum[..., None, None] * jnp.sum(rel_h, axis=0)  # (...,ks,1)
         qr_w = q_sum[..., None, None] * jnp.sum(rel_w, axis=0)  # (...,1,ks)
-        qk = qk.reshape(b, h, w, self.num_heads, ks, ks) + qr_h + qr_w
-        qk = qk.reshape(b, h, w, self.num_heads, ks * ks)
+        qk = qk.reshape(b, self.num_heads, h, w, ks, ks) + qr_h + qr_w
+        qk = qk.reshape(b, self.num_heads, h, w, ks * ks)
 
         weights = jax.nn.softmax(qk, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bxyhk,bxyhdk->bxyhd", weights, vu,
+        out = jnp.einsum("bhxyk,bhxydk->bhxyd", weights, vu,
                          preferred_element_type=jnp.float32)
-        return out.reshape(b, h, w, c).astype(self.dtype)
+        # torch reshapes (B,heads,H,W,1,dvh) back to (B,C,H,W) raw
+        # (sasa.py:82-83) — same row-major reinterpretation, then to NHWC
+        return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(self.dtype)
 
 
 class HaloAttention(nn.Module):
@@ -198,18 +213,20 @@ class HaloAttention(nn.Module):
         logits = jnp.einsum("bhnqd,bhnkd->bhnqk", qh, kh,
                             preferred_element_type=jnp.float32)
 
-        # factorized relative position embedding (halo.py:46-73):
-        # logits[q=(x,y), k=(i,j)] += q·rel_h[i-x+blk-1] + q·rel_w[j-y+blk-1]
+        # factorized relative position embedding (halo.py:46-73): the torch
+        # tables are (2*win-1, d) and the rel_to_abs gather reads entry
+        # i-x+win-1 — logits[q=(x,y), k=(i,j)] += q·rel_h[i-x+win-1]
+        # + q·rel_w[j-y+win-1]; only the top win+blk-1 rows are reachable
         rel_h = self.param("rel_height", nn.initializers.normal(0.02),
-                           (win + blk - 1, self.dim_head), jnp.float32)
+                           (2 * win - 1, self.dim_head), jnp.float32)
         rel_w = self.param("rel_width", nn.initializers.normal(0.02),
-                           (win + blk - 1, self.dim_head), jnp.float32)
+                           (2 * win - 1, self.dim_head), jnp.float32)
 
         n_blocks = nb_h * nb_w
         qr = qh.reshape(b, self.heads, n_blocks, blk, blk, self.dim_head)
         rel_idx = (jax.lax.broadcasted_iota(jnp.int32, (blk, win), 1)
                    - jax.lax.broadcasted_iota(jnp.int32, (blk, win), 0)
-                   + blk - 1)  # (blk, win): relative offset per (query, key)
+                   + win - 1)  # (blk, win): relative offset per (query, key)
 
         # row index varies with x (axis 3)
         lh = jnp.take_along_axis(
@@ -228,6 +245,19 @@ class HaloAttention(nn.Module):
         att = logits.reshape(b, self.heads, n_blocks, blk, blk, win, win)
         att = att + lh[..., :, None] + lw[..., None, :]
         att = att.reshape(b, self.heads, n_blocks, blk * blk, win * win)
+
+        # mask out the zero-padding keys of edge blocks. NOTE: the reference
+        # (halo.py:142-148) fills the VALID positions instead — an inverted
+        # mask polarity; this is the intended semantics (see module doc).
+        key_r = (jax.lax.broadcasted_iota(jnp.int32, (nb_h, win), 0) * blk
+                 + jax.lax.broadcasted_iota(jnp.int32, (nb_h, win), 1) - halo)
+        key_c = (jax.lax.broadcasted_iota(jnp.int32, (nb_w, win), 0) * blk
+                 + jax.lax.broadcasted_iota(jnp.int32, (nb_w, win), 1) - halo)
+        row_ok = (key_r >= 0) & (key_r < h)            # (nb_h, win)
+        col_ok = (key_c >= 0) & (key_c < w)            # (nb_w, win)
+        valid = (row_ok[:, None, :, None] & col_ok[None, :, None, :])
+        valid = valid.reshape(1, 1, n_blocks, 1, win * win)
+        att = jnp.where(valid, att, jnp.finfo(jnp.float32).min)
 
         weights = jax.nn.softmax(att, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnqk,bhnkd->bhnqd", weights, vh,

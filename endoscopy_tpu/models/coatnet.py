@@ -46,17 +46,17 @@ class MBConvBlock(nn.Module):
         y = nn.Conv(hidden, (1, 1), strides=(stride, stride), use_bias=False,
                     dtype=self.dtype, name="pw")(y)
         y = self.norm(name="bn1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(hidden, (3, 3), padding=[(1, 1), (1, 1)],
                     feature_group_count=hidden, use_bias=False,
                     dtype=self.dtype, name="dw")(y)
         y = self.norm(name="bn2")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         # SE with reduction relative to the INPUT channels (coat_net.py:92)
         se_ch = max(1, in_ch // 4)
         s = jnp.mean(y, axis=(1, 2))
         s = nn.Dense(se_ch, use_bias=False, dtype=self.dtype, name="se_fc1")(s)
-        s = nn.gelu(s)
+        s = nn.gelu(s, approximate=False)
         s = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="se_fc2")(s)
         y = y * nn.sigmoid(s)[:, None, None, :]
         y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
@@ -114,6 +114,10 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        # reference quirk (coat_net.py:168): the FF hidden width is
+        # int(inp*4) from the STAGE INPUT channels, not the block's output —
+        # downsample blocks (inp != oup) get inp*4, not oup*4
+        ff_hidden = c * 4
         if self.downsample:
             x1 = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
             x2 = x1
@@ -132,8 +136,8 @@ class TransformerBlock(nn.Module):
 
         y = x.reshape(b, h * w, self.out_ch)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ff_norm")(y)
-        y = nn.Dense(self.out_ch * 4, dtype=self.dtype, name="ff1")(y.astype(self.dtype))
-        y = nn.gelu(y)
+        y = nn.Dense(ff_hidden, dtype=self.dtype, name="ff1")(y.astype(self.dtype))
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.out_ch, dtype=self.dtype, name="ff2")(y)
         return x + y.reshape(b, h, w, self.out_ch)
 
@@ -160,7 +164,7 @@ class CoAtNet(nn.Module):
                         padding=[(1, 1), (1, 1)], use_bias=False,
                         dtype=self.dtype, name=f"s0_conv{i}")(x)
             x = norm(name=f"s0_bn{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
 
         for stage in range(4):
             btype = self.block_types[stage]

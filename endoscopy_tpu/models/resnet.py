@@ -63,24 +63,30 @@ class Bottleneck(nn.Module):
     # (sasa.py:160-220)
     attn: Optional[str] = None  # None | 'cbam' | 'sa'
     spatial_sasa: bool = False
+    # the reference's ResNetSASA bottleneck (sasa.py:178-200) puts the stage
+    # stride on the 1x1 conv1 for EVERY block of that variant (v1-style), so
+    # the SASA layer always runs at the already-strided resolution
+    stride_on_conv1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
         out_ch = self.filters * self.expansion
         residual = x
+        s1 = self.strides if self.stride_on_conv1 else 1
+        s2 = 1 if self.stride_on_conv1 else self.strides
 
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         if self.spatial_sasa:
             from endoscopy_tpu.models.attention import SASALayer
-            y = SASALayer(width, dtype=self.dtype, name="sasa")(y)
-            if self.strides > 1:  # stride via pooling after attention
-                y = nn.avg_pool(y, (self.strides, self.strides),
-                                strides=(self.strides, self.strides))
+            # named 'conv2' to mirror the reference (sasa.py:193-196) so
+            # torch checkpoints import with no extra key rules
+            y = SASALayer(width, dtype=self.dtype, name="conv2")(y)
         else:
-            y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
+            y = nn.Conv(width, (3, 3), strides=(s2, s2),
                         padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
                         use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = self.norm(name="bn2")(y)
@@ -148,6 +154,8 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        # the SASA variant strides on conv1 net-wide (sasa.py:178-200)
+        stride_on_conv1 = bool(self.sasa_stages)
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if (stage > 0 and block == 0) else 1
@@ -161,6 +169,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     attn=self.attn,
                     spatial_sasa=stage in self.sasa_stages,
+                    stride_on_conv1=stride_on_conv1,
                     name=f"layer{stage + 1}_{block}",
                 )(x)
 

@@ -110,7 +110,7 @@ class ViTLSA(nn.Module):
                              name=f"norm2_{i}")(x)
             y = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"mlp1_{i}")(
                 y.astype(self.dtype))
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)
             x = x + nn.Dense(self.dim, dtype=self.dtype, name=f"mlp2_{i}")(y)
 
         if self.pool == "mean":

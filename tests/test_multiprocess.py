@@ -1,4 +1,4 @@
-"""Real 2-process DCN data-parallel test (VERDICT r2 missing #4).
+"""Real 2-process DCN data-parallel tests (VERDICT r2 missing #4, r3 item 4).
 
 Launches two ``jax.distributed``-initialized CPU subprocesses (localhost
 coordinator, 2 virtual devices each → a 4-device global mesh) running one
@@ -8,6 +8,17 @@ branches of ``train/common.py`` (``make_array_from_process_local_data`` in
 asserts both processes agree with a single-process reference run on the same
 global batch. SURVEY.md §2.3 names multi-host input-pipeline sharding a
 first-class component (reference: none, learn.py:35-38).
+
+A second test saves an orbax checkpoint from both workers (including the
+barrier-fenced resave swap of ckpt/orbax_io.py:70-92), restarts the pair,
+restores, and asserts bit-identical state digests — the multi-host
+checkpoint path of SURVEY.md §5 executed under a real ``jax.distributed``
+runtime.
+
+Flake hardening (VERDICT r3 item 6): worker stdout is captured and printed
+on ANY failure including timeouts; the coordinator port is retried on the
+(rare) bind race between ``_free_port`` releasing the probe socket and the
+coordinator claiming it.
 """
 
 import json
@@ -23,11 +34,76 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "_dcn_worker.py"
 
+# generous: two workers share the 1-core CI host with the rest of the slow
+# tier's residual load (measured 229 s standalone; the one recorded in-suite
+# flake at 420 s was a coordinator-port bind race, now retried explicitly —
+# see _run_pair)
+PAIR_TIMEOUT_S = 1200
+
 
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def _launch_pair(out_dir: Path, phase: str, ckpt_dir: str, port: int):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (str(REPO), env.get("PYTHONPATH", "")) if p)
+    procs, outs = [], []
+    for pid in range(2):
+        out = out_dir / f"{phase}_proc{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), str(port), str(out),
+             phase, ckpt_dir],
+            cwd=str(REPO), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    return procs, outs
+
+
+def _run_pair(out_dir: Path, phase: str, ckpt_dir: str = "",
+              attempts: int = 2):
+    """Run a 2-worker phase; on timeout kill + dump logs; retry once on the
+    coordinator-port bind race (fresh port per attempt)."""
+    last_logs = []
+    for attempt in range(attempts):
+        port = _free_port()
+        procs, outs = _launch_pair(out_dir, phase, ckpt_dir, port)
+        logs = []
+        timed_out = False
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=PAIR_TIMEOUT_S)
+            except subprocess.TimeoutExpired:
+                timed_out = True
+                for q in procs:
+                    q.kill()
+                stdout, _ = p.communicate()
+            logs.append(stdout or "")
+        last_logs = logs
+        if timed_out:
+            pytest.fail(
+                f"[{phase}] worker pair timed out after {PAIR_TIMEOUT_S}s "
+                f"(attempt {attempt + 1});\n--- worker 0 ---\n{logs[0]}\n"
+                f"--- worker 1 ---\n{logs[1]}")
+        rcs = [p.returncode for p in procs]
+        if all(rc == 0 for rc in rcs):
+            return [json.loads(out.read_text()) for out in outs]
+        # bind race signature: coordinator couldn't claim the probed port
+        joined = "\n".join(logs)
+        retryable = ("Address already in use" in joined
+                     or "Failed to bind" in joined
+                     or "DEADLINE_EXCEEDED" in joined)
+        if not (retryable and attempt + 1 < attempts):
+            pytest.fail(
+                f"[{phase}] workers exited {rcs};\n--- worker 0 ---\n"
+                f"{logs[0]}\n--- worker 1 ---\n{logs[1]}")
+    pytest.fail(f"[{phase}] exhausted retries;\n--- worker 0 ---\n"
+                f"{last_logs[0]}\n--- worker 1 ---\n{last_logs[1]}")
 
 
 def _reference_single_process():
@@ -79,38 +155,8 @@ def _reference_single_process():
 def test_two_process_dcn_equals_single_process(tmp_path):
     ref_loss, ref_eval_loss, ref_f1 = _reference_single_process()
 
-    port = _free_port()
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in (str(REPO), env.get("PYTHONPATH", "")) if p)
-
-    procs, outs = [], []
-    for pid in range(2):
-        out = tmp_path / f"proc{pid}.json"
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(WORKER), str(pid), str(port), str(out)],
-            cwd=str(REPO), env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    logs = []
-    for p in procs:
-        try:
-            # generous: two workers share the 1-core CI host with the rest
-            # of the slow tier's residual load (measured 229 s standalone,
-            # but the 420 s budget flaked in-suite once)
-            stdout, _ = p.communicate(timeout=1200)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(stdout)
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log}"
-
-    for pid, out in enumerate(outs):
-        res = json.loads(out.read_text())
+    results = _run_pair(tmp_path, "train")
+    for pid, res in enumerate(results):
         assert res["process_count"] == 2
         # train step: global-batch semantics identical to single-process
         assert res["train_loss"] == pytest.approx(ref_loss, rel=1e-5), \
@@ -118,3 +164,30 @@ def test_two_process_dcn_equals_single_process(tmp_path):
         # eval through _fetch_batch_rows shard reassembly
         assert res["eval_loss"] == pytest.approx(ref_eval_loss, rel=1e-5)
         assert res["macro_f1"] == pytest.approx(ref_f1, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_save_restore(tmp_path):
+    """Save (incl. the fenced resave swap) from a 2-process pair, restart
+    the pair, restore, and assert bit-identical state (VERDICT r3 item 4)."""
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    saved = _run_pair(tmp_path, "save", ckpt_dir)
+    digests = {res["saved_digest"] for res in saved}
+    assert len(digests) == 1, f"save digests disagree across hosts: {saved}"
+
+    # the resave swap must have left exactly one finalized state dir
+    epoch_dir = Path(ckpt_dir) / "epoch_0"
+    assert (epoch_dir / "state").is_dir()
+    assert not (epoch_dir / "state.old").exists()
+    assert not (epoch_dir / "state.resave").exists()
+
+    resumed = _run_pair(tmp_path, "resume", ckpt_dir)
+    for res in resumed:
+        assert res["restored_digest"] in digests, \
+            "restored state differs from saved state"
+        assert res["meta_epoch"] == 0
+        assert np.isfinite(res["post_resume_loss"])
+    # both resumed processes computed the same next step
+    assert resumed[0]["post_resume_loss"] == pytest.approx(
+        resumed[1]["post_resume_loss"], rel=1e-6)

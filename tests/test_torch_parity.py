@@ -418,3 +418,175 @@ def test_efficientnet_forward_parity(rng):
     x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
     _import_and_compare(fmodel, tmodel, "efficientnet", x,
                         lambda m, t: m(t), atol=2e-4, rtol=2e-3)
+
+
+# -- attention zoo (VERDICT r3 item 3): CBAM, shuffle-attention, SASA,
+# ViT-LSA, CoAtNet via the importer; Halo via a hand-mapped module oracle.
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_cbam_resnet_forward_parity(rng):
+    """ResNet+CBAM trunk vs reference cbam.py ResNetCBAM (cbam.py:27-100
+    gates, 192-297 network); pooled features compared (fc removed)."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.resnet import ResNet
+
+    cbam = _ref_module("cbam")
+    tmodel = cbam.ResNetCBAM(cbam.Bottleneck, [1, 1, 1, 1], "ImageNet",
+                             num_classes=10, att_type="CBAM")
+    tmodel.fc = torch.nn.Identity()
+    _randomize(tmodel)
+
+    fmodel = ResNet(stage_sizes=(1, 1, 1, 1), attn="cbam", dtype=jnp.float32)
+    x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    _import_and_compare(fmodel, tmodel, "resnet", x,
+                        lambda m, t: m(t), atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_sa_resnet_forward_parity(rng):
+    """ResNet+shuffle-attention trunk vs reference sa.py ResNetSA
+    (sa_layer sa.py:14-67 incl. the per-channel GroupNorm and 2-group
+    channel shuffle); pooled features compared."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.resnet import ResNet
+
+    sa = _ref_module("sa")
+    tmodel = sa.ResNetSA(sa.SABottleneck, [1, 1, 1, 1], num_classes=10)
+    tmodel.fc = torch.nn.Identity()
+    _randomize(tmodel)
+
+    fmodel = ResNet(stage_sizes=(1, 1, 1, 1), attn="sa", dtype=jnp.float32)
+    x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    _import_and_compare(fmodel, tmodel, "resnet", x,
+                        lambda m, t: m(t), atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_sasa_resnet_forward_parity(rng):
+    """ResNet+SASA trunk vs reference sasa.py ResNetSASA with attention in
+    the last two stages (sasa.py:22-84 layer incl. the depth-interleaving
+    head reshape and the q-sum x enc-sum positional quirk; 178-200 stride on
+    conv1); pooled features compared."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.resnet import ResNet
+
+    sasa = _ref_module("sasa")
+    tmodel = sasa.ResNetSASA(sasa.Bottleneck, [1, 1, 1, 1], num_classes=10,
+                             attention=[False, False, True, True],
+                             num_heads=8, kernel_size=7, image_size=224)
+    tmodel.fc = torch.nn.Identity()
+    _randomize(tmodel)
+
+    fmodel = ResNet(stage_sizes=(1, 1, 1, 1), sasa_stages=(2, 3),
+                    dtype=jnp.float32)
+    x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    _import_and_compare(fmodel, tmodel, "resnet", x,
+                        lambda m, t: m(t), atol=5e-4, rtol=5e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_vit_lsa_forward_parity(rng):
+    """ViT-LSA vs reference vit_lsa.py (SPT shifted tokenization 86-101,
+    LSA learnable temperature + diagonal mask 37-69); cls-token features
+    compared (mlp_head removed)."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.vit_lsa import ViTLSA
+
+    ref = _ref_module("vit_lsa")
+    tmodel = ref.ViT(image_size=32, patch_size=8, num_classes=5, dim=64,
+                     depth=2, heads=4, mlp_dim=128, dim_head=16)
+    tmodel.mlp_head = torch.nn.Identity()
+    _randomize(tmodel)
+
+    fmodel = ViTLSA(image_size=32, patch_size=8, dim=64, depth=2, heads=4,
+                    dim_head=16, mlp_dim=128, dtype=jnp.float32)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    _import_and_compare(fmodel, tmodel, "vit_lsa", x,
+                        lambda m, t: m(t), atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_coatnet_forward_parity(rng):
+    """CoAtNet vs reference coat_net.py (MBConv w/ pre-BN + SE 60-105,
+    rel-bias attention 108-199, incl. the int(inp*4) FF-hidden quirk at
+    168); pooled features compared (fc1/fc2 removed)."""
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.models.coatnet import CoAtNet
+
+    ref = _ref_module("coat_net")
+    tmodel = ref.CoAtNet((32, 32), 3, [1, 2, 2, 2, 2], [8, 8, 16, 16, 32],
+                         num_classes=5)
+    tmodel.fc1 = torch.nn.Identity()
+    tmodel.fc2 = torch.nn.Identity()
+    _randomize(tmodel)
+
+    fmodel = CoAtNet(num_blocks=(1, 2, 2, 2, 2), channels=(8, 8, 16, 16, 32),
+                     dtype=jnp.float32)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    _import_and_compare(fmodel, tmodel, "coatnet", x,
+                        lambda m, t: m(t), atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference repo not present")
+def test_halo_attention_parity(rng):
+    """HaloAttention vs reference halo.py (75-165), hand-mapped params.
+
+    The reference's padding mask has inverted polarity — masked_fill_(mask)
+    fills the VALID keys (halo.py:142-148) so attention lands only on the
+    zero padding. The flax module implements the intended semantics, so the
+    oracle runs with the fill inverted (mask the padding instead); a second
+    un-patched run pins that the reference-as-written differs."""
+    import jax.numpy as jnp
+
+    halo = _ref_module("halo")
+    tmodel = halo.HaloAttention(dim=32, block_size=4, halo_size=2,
+                                dim_head=8, heads=4)
+    _randomize(tmodel)
+    sd = _np_state_dict(tmodel)
+
+    from endoscopy_tpu.models.attention import HaloAttention
+
+    fmodel = HaloAttention(dim=32, block_size=4, halo_size=2, dim_head=8,
+                           heads=4, dtype=jnp.float32)
+    x = rng.standard_normal((2, 8, 8, 32)).astype(np.float32)
+    variables = fmodel.init(__import__("jax").random.key(0), jnp.asarray(x))
+    params = {
+        "to_q": {"kernel": np.ascontiguousarray(sd["to_q.weight"].T)},
+        "to_kv": {"kernel": np.ascontiguousarray(sd["to_kv.weight"].T)},
+        "to_out": {"kernel": np.ascontiguousarray(sd["to_out.weight"].T),
+                   "bias": sd["to_out.bias"]},
+        "rel_height": sd["rel_pos_emb.rel_height"],
+        "rel_width": sd["rel_pos_emb.rel_width"],
+    }
+    import jax
+
+    chex = jax.tree.map(lambda a, b: np.shape(a) == np.shape(b),
+                        variables["params"], params)
+    assert all(jax.tree.leaves(chex)), chex
+    out = np.asarray(fmodel.apply({"params": params}, jnp.asarray(x)))
+
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    orig_fill = torch.Tensor.masked_fill_
+
+    def corrected_fill(self, mask, value):
+        return orig_fill(self, ~mask, value)
+
+    try:
+        torch.Tensor.masked_fill_ = corrected_fill
+        with torch.no_grad():
+            ref_fixed = tmodel(tx).numpy().transpose(0, 2, 3, 1)
+    finally:
+        torch.Tensor.masked_fill_ = orig_fill
+    with torch.no_grad():
+        ref_asis = tmodel(tx).numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(out, ref_fixed, atol=2e-4, rtol=2e-3)
+    # pin the documented deviation: the as-written reference (inverted mask)
+    # must NOT match — if it starts matching, the polarity note is stale
+    assert np.abs(out - ref_asis).max() > 1e-3
