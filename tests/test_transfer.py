@@ -184,6 +184,7 @@ def test_cli_progressive_resizing_end_to_end(dataset, tmp_path, monkeypatch):
     assert "state" in carried  # stage 2 received stage 1's weights
 
 
+@pytest.mark.slow  # 132 s — 36% of the whole fast tier (PARITY.md budget)
 def test_cli_progressive_resizing_ssl_end_to_end(dataset, tmp_path,
                                                  monkeypatch):
     """The reference's progressive-resizing pairs are FixMatch SSL runs
