@@ -148,8 +148,23 @@ def build_model(config, is_pathology: bool = True) -> nn.Module:
     if name == "conformer":
         # dual-head model with its own classifier heads (build.py:92-131);
         # the N-class heads are built directly (checkpoint surgery for the
-        # 1000→2→N transfer lives in ckpt/torch_import.py)
-        from endoscopy_tpu.models.conformer import conformer_tiny
+        # 1000→2→N transfer lives in ckpt/torch_import.py). Conformer-Ti
+        # dims by default; MODEL.{EMBED_DIM,DEPTH,NUM_HEADS,MLP_RATIO,
+        # PATCH_SIZE,CHANNEL_RATIO} override (scaled-down CI/smoke runs)
+        from endoscopy_tpu.models.conformer import Conformer, conformer_tiny
+        overrides = {attr: config.MODEL[key]
+                     for key, attr in (("EMBED_DIM", "embed_dim"),
+                                       ("DEPTH", "depth"),
+                                       ("NUM_HEADS", "num_heads"),
+                                       ("MLP_RATIO", "mlp_ratio"),
+                                       ("PATCH_SIZE", "patch_size"),
+                                       ("CHANNEL_RATIO", "channel_ratio"))
+                     if config.MODEL.get(key) is not None}
+        if overrides:
+            kw = dict(patch_size=16, channel_ratio=1, embed_dim=384,
+                      depth=12, num_heads=6, mlp_ratio=4.0, qkv_bias=True)
+            kw.update(overrides)
+            return Conformer(num_classes=num_classes, dtype=dtype, **kw)
         return conformer_tiny(num_classes=num_classes, dtype=dtype)
 
     backbone = create_backbone(name, dtype=dtype)
