@@ -31,6 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from endoscopy_tpu.aug.randaugment import sample_slot_params
 
+# Crop-fusion row addressing: False = bit-decomposed sublane rotations
+# (nb_r passes over the full padded plane, the round-3 shipped path);
+# True = one VMEM load with a dynamic sublane offset (pl.ds on the
+# second-to-last axis — supported by Mosaic, unlike arbitrary dynamic LANE
+# starts) and column rotations over the (h, wp) window instead of
+# (hp, wp). Candidate for the 224px residual (VERDICT r4 item 2);
+# interpret-mode-equal to the roll path (tests/test_pallas_kernel.py),
+# default flips only after a measured TPU win in tools/profile_224_residual.
+CROP_ROWS_DYNAMIC_SLICE = False
+
+
 def _pad_for(size: int) -> int:
     """Max |row shift| any op can produce: shear/translate <= 0.27*size+1."""
     return int(0.3 * size) + 2
@@ -156,7 +167,7 @@ def _sharpness_plane(plane, factor, h: int, w: int):
 
 def _kernel(pi_ref, pf_ref, img_ref, out_ref, buf, n_slots: int,
             h: int, w: int, PAD: int, hp: int | None = None,
-            wp: int | None = None):
+            wp: int | None = None, crop_ds: bool = False):
     """pi_ref (B, 2+n_slots*2[+2]) int32 SMEM: [cut_cx, cut_cy,
     (op, apply)*slots, [crop_top, crop_left]]
     pf_ref (B, n_slots*2) f32 SMEM: [(v, sign)*slots]
@@ -172,26 +183,37 @@ def _kernel(pi_ref, pf_ref, img_ref, out_ref, buf, n_slots: int,
     """
     i = pl.program_id(0)
     if hp is None or (hp == h and wp == w):
-        buf[:, :, :] = img_ref[0]
+        buf[:, :, :] = img_ref[0].astype(jnp.float32)
     else:
-        # out = padded[top:top+h, left:left+w] via bit-decomposed VMEM
-        # rotations on both axes + a static slice (Mosaic rejects
-        # arbitrary dynamic sublane/lane slice starts)
+        # out = padded[top:top+h, left:left+w]
         top = pi_ref[i, 2 + 2 * n_slots]
         left = pi_ref[i, 3 + 2 * n_slots]
-        nb_r = max(int(hp - h).bit_length(), 1)
         nb_c = max(int(wp - w).bit_length(), 1)
-        for c in range(3):
-            x = img_ref[0, c]  # (hp, wp)
-            for k in range(nb_r):
-                bit = (top >> k) & 1
-                x = jnp.where(bit == 1,
-                              pltpu.roll(x, (-(1 << k)) % hp, axis=0), x)
-            for k in range(nb_c):
-                bit = (left >> k) & 1
-                x = jnp.where(bit == 1,
-                              pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
-            buf[c] = x[:h, :w]
+        if crop_ds:
+            # row offset = one dynamic-sublane-offset VMEM load; only the
+            # column offset needs bit rotations (arbitrary dynamic LANE
+            # starts are what Mosaic rejects), now over the (h, wp) window
+            for c in range(3):
+                x = img_ref[0, c, pl.ds(top, h), :]  # (h, wp)
+                for k in range(nb_c):
+                    bit = (left >> k) & 1
+                    x = jnp.where(bit == 1,
+                                  pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
+                buf[c] = x[:, :w].astype(jnp.float32)
+        else:
+            # bit-decomposed VMEM rotations on both axes + a static slice
+            nb_r = max(int(hp - h).bit_length(), 1)
+            for c in range(3):
+                x = img_ref[0, c]  # (hp, wp)
+                for k in range(nb_r):
+                    bit = (top >> k) & 1
+                    x = jnp.where(bit == 1,
+                                  pltpu.roll(x, (-(1 << k)) % hp, axis=0), x)
+                for k in range(nb_c):
+                    bit = (left >> k) & 1
+                    x = jnp.where(bit == 1,
+                                  pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
+                buf[c] = x[:h, :w].astype(jnp.float32)
 
     for slot in range(n_slots):
         op = pi_ref[i, 2 + slot * 2]
@@ -264,7 +286,8 @@ def _kernel(pi_ref, pf_ref, img_ref, out_ref, buf, n_slots: int,
     yg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xg = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     mask = (yg >= y0) & (yg <= y1) & (xg >= x0) & (xg <= x1)
-    out_ref[0] = jnp.where(mask[None], 127.0, buf[:, :, :])
+    out_ref[0] = jnp.where(mask[None], 127.0,
+                           buf[:, :, :]).astype(out_ref.dtype)
 
 
 def sample_randaugment_params(key: jax.Array, batch: int, h: int, w: int,
@@ -289,13 +312,32 @@ def sample_randaugment_params(key: jax.Array, batch: int, h: int, w: int,
     return pi.astype(jnp.int32), pf.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret", "crop_size"))
 def randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
                           interpret: bool = False, crop_offsets=None,
                           crop_size: int | None = None) -> jnp.ndarray:
     """Batch RandAugmentMC via the per-sample-dispatch kernel.
 
-    batch_nhwc: (B, H, W, 3) float32 in [0,255]; returns same shape/dtype.
+    Thin wrapper resolving module flags OUTSIDE the jit boundary (a global
+    read inside the traced body would be frozen into the first cache entry);
+    see _randaugment_mc_pallas for the kernel launch."""
+    return _randaugment_mc_pallas(
+        batch_nhwc, key, n=n, interpret=interpret, crop_offsets=crop_offsets,
+        crop_size=crop_size, crop_ds=bool(CROP_ROWS_DYNAMIC_SLICE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "interpret", "crop_size", "crop_ds"))
+def _randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
+                           interpret: bool = False, crop_offsets=None,
+                           crop_size: int | None = None,
+                           crop_ds: bool = False) -> jnp.ndarray:
+    """Kernel launch.
+
+    batch_nhwc: (B, H, W, 3) float in [0,255]; returns same shape/dtype.
+    Blocks stream to/from VMEM in the INPUT dtype (bf16 input halves the
+    kernel's HBM traffic); per-plane compute is always f32 in scratch, so
+    uint8-derived bf16 inputs (0..255 exact) produce bit-identical pixels
+    to the f32-I/O path modulo the caller's final cast.
 
     Crop fusion: with ``crop_offsets=(tops, lefts)`` (two int32 (B,) arrays)
     and ``crop_size``, the input is a reflect-padded batch and each sample's
@@ -317,7 +359,9 @@ def randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
         pi = jnp.concatenate(
             [pi, tops.astype(jnp.int32)[:, None],
              lefts.astype(jnp.int32)[:, None]], axis=1)
-    planar = batch_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32)
+    planar = batch_nhwc.transpose(0, 3, 1, 2)
+    if not jnp.issubdtype(planar.dtype, jnp.floating):
+        planar = planar.astype(jnp.float32)
 
     in_h, in_w = (hp, wp) if hp is not None else (h, w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -333,8 +377,8 @@ def randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, n_slots=n, h=h, w=w, PAD=PAD,
-                          hp=hp, wp=wp),
-        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+                          hp=hp, wp=wp, crop_ds=crop_ds),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), planar.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(pi, pf, planar)

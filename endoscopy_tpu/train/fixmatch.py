@@ -78,13 +78,12 @@ class FixMatch(BaseTrainer):
             loss = lx + lambda_u * lu
             return loss, (new_bs, lx, lu, mask_mean)
 
-        @jax.jit
-        def train_step(state, x_lb_u8, targets, u_canon_u8, weights, rng):
-            k_lb, k_views, k_drop = jax.random.split(rng, 3)
-            # all three views on device from two canonical uint8 batches
-            x_lb = labeled_train_view(x_lb_u8, k_lb, img_size, dtype)
-            u_weak, u_strong = fixmatch_views(u_canon_u8, k_views, img_size, dtype)
-
+        def train_core(state, x_lb, u_weak, u_strong, targets, weights,
+                       k_drop):
+            """Everything after view building: fwd+bwd, optimizer, EMA.
+            Split out so tools/profile_224_residual.py can time/cost the
+            model core with views precomputed — the HLO of train_step is
+            unchanged (views feed straight into this inline)."""
             (loss, (new_bs, lx, lu, mask_mean)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(
                     state.params, state.batch_stats, x_lb, u_weak, u_strong,
@@ -102,6 +101,17 @@ class FixMatch(BaseTrainer):
                     ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
                                                ema_decay))
             return new_state, loss, (lx, lu, mask_mean)
+
+        self._train_core = train_core
+
+        @jax.jit
+        def train_step(state, x_lb_u8, targets, u_canon_u8, weights, rng):
+            k_lb, k_views, k_drop = jax.random.split(rng, 3)
+            # all three views on device from two canonical uint8 batches
+            x_lb = labeled_train_view(x_lb_u8, k_lb, img_size, dtype)
+            u_weak, u_strong = fixmatch_views(u_canon_u8, k_views, img_size, dtype)
+            return train_core(state, x_lb, u_weak, u_strong, targets, weights,
+                              k_drop)
 
         self._train_step = train_step
 

@@ -126,6 +126,49 @@ def test_kernel_crop_fusion_matches_xla_crop(rng):
     np.testing.assert_array_equal(out_fused, out_ref)
 
 
+def test_kernel_bf16_io_matches_f32_io(rng):
+    """bf16 block I/O (PALLAS_NATIVE_DTYPE_IO candidate): uint8-derived
+    pixels are exact in bf16 and compute stays f32 in scratch, so the
+    bf16-I/O kernel must equal the f32-I/O kernel after the final bf16
+    cast — bit-identical, not approximately."""
+    imgs_f32 = jnp.asarray(rng.integers(0, 256, (B, S, S, 3)), jnp.float32)
+    imgs_bf16 = imgs_f32.astype(jnp.bfloat16)
+    key = jax.random.key(5)
+    out_bf16 = np.asarray(
+        randaugment_mc_pallas(imgs_bf16, key, interpret=True)
+        .astype(jnp.float32))
+    out_f32 = np.asarray(
+        randaugment_mc_pallas(imgs_f32, key, interpret=True)
+        .astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(out_bf16, out_f32)
+
+
+def test_kernel_crop_rows_dynamic_slice_matches_rolls(rng, monkeypatch):
+    """CROP_ROWS_DYNAMIC_SLICE candidate: the dynamic-sublane-offset load
+    must produce exactly the same crop (and therefore output) as the
+    bit-decomposed roll path, in both I/O dtypes."""
+    from endoscopy_tpu.ops import randaugment_kernel as rk
+
+    PADDING, OUT = 3, S
+    P = OUT + 2 * PADDING
+    imgs = jnp.asarray(rng.integers(0, 256, (B, P, P, 3)), jnp.float32)
+    tops = jnp.asarray(rng.integers(0, 2 * PADDING + 1, B), jnp.int32)
+    lefts = jnp.asarray(rng.integers(0, 2 * PADDING + 1, B), jnp.int32)
+    key = jax.random.key(9)
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = imgs.astype(dt)
+        monkeypatch.setattr(rk, "CROP_ROWS_DYNAMIC_SLICE", False)
+        out_rolls = np.asarray(randaugment_mc_pallas(
+            x, key, interpret=True, crop_offsets=(tops, lefts),
+            crop_size=OUT).astype(jnp.float32))
+        monkeypatch.setattr(rk, "CROP_ROWS_DYNAMIC_SLICE", True)
+        out_ds = np.asarray(randaugment_mc_pallas(
+            x, key, interpret=True, crop_offsets=(tops, lefts),
+            crop_size=OUT).astype(jnp.float32))
+        np.testing.assert_array_equal(out_ds, out_rolls)
+
+
 def test_strong_pad_path_bit_identical_to_xla_strong_pre(rng):
     """The Pallas-path pad+offsets emitter draws the same flips and crop
     offsets as the XLA _fixmatch_strong_pre for the same key, so the two

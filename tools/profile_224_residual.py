@@ -1,0 +1,234 @@
+"""Attribute the 224px FixMatch residual (VERDICT r3 weak #1 / next #2).
+
+BENCH_TABLE.md round-3: fixmatch_resnet50_224 sits ~1.22x over its
+bytes-accessed HBM floor while the 112px flagship runs at 0.94x. This tool
+decomposes the 224px step ON THE CHIP into model-core vs in-situ view cost,
+and A/Bs the two flag-gated view candidates added in round 4:
+
+- PALLAS_NATIVE_DTYPE_IO (aug/views.py): stream the RandAugment kernel's
+  blocks in bf16 instead of f32 — halves the kernel's HBM traffic, drops
+  the standalone convert passes (bit-identical output, interpret-verified).
+- CROP_ROWS_DYNAMIC_SLICE (ops/randaugment_kernel.py): the crop-fusion row
+  offset as ONE dynamic-sublane-offset VMEM load instead of nb_r
+  bit-decomposed rotations over the full padded plane; column rotations
+  shrink to the (h, wp) window (interpret-verified equal).
+
+Parts:
+  full   production multi-step, bench-harness semantics (evolving state,
+         host-fetch barrier) — the BENCH_TABLE row
+  core   the SAME step with views precomputed as inputs (trainer._train_core
+         — fwd+bwd+optimizer+EMA only) + its cost_analysis floors;
+         full - core = in-situ view cost riding on the step
+  views  labeled_train_view + fixmatch_views alone in a scan
+  ab     full step re-measured under each candidate flag combination
+         (each leg rebuilds the trainer: fresh jit cache, fresh compile;
+         a Mosaic rejection on one leg is reported, not fatal)
+
+Usage: python tools/profile_224_residual.py [--img 224] [--calls 5]
+       [--parts full,core,views,ab]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bench import V5E_BF16_TFLOPS, V5E_HBM_GBPS, _cost_per_step  # noqa: E402
+
+B, MU, K = 32, 7, 8
+IMGS_PER_STEP = B * (1 + 2 * MU)
+
+
+def build(img: int):
+    import jax.numpy as jnp
+
+    from bench import _canonical_batches, _mk_cfg
+    from endoscopy_tpu.models import build_model
+    from endoscopy_tpu.train.fixmatch import FixMatch
+
+    cfg = _mk_cfg("resnet50", img, B, MU, "FixMatch")
+    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
+    weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
+    xk, tk, uk = _canonical_batches(cfg, K)
+    sharded = trainer._shard_stacked(xk, tk, uk)
+    return trainer, sharded, weights
+
+
+def measure_multi(trainer, sharded, weights, calls: int) -> float:
+    """ms/step of the production multi-step program."""
+    box = {"state": trainer.state, "loss": None}
+
+    def run():
+        box["state"], losses = trainer._train_multi(
+            box["state"], *sharded, weights, trainer._next_rng())
+        box["loss"] = losses
+
+    run(); run(); float(box["loss"][-1])
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        run()
+    float(box["loss"][-1])
+    return (time.perf_counter() - t0) / (calls * K) * 1e3
+
+
+def measure_core(trainer, weights, img: int, calls: int):
+    """ms/step of the view-free core (precomputed view inputs), + floors."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # ImageNet-normalized views are roughly N(0,1): synthetic stand-ins at
+    # the exact shapes/dtypes train_core consumes
+    dt = trainer.dtype
+    x_lb_k = jnp.asarray(rng.standard_normal((K, B, img, img, 3)), dt)
+    u_w_k = jnp.asarray(rng.standard_normal((K, B * MU, img, img, 3)), dt)
+    u_s_k = jnp.asarray(rng.standard_normal((K, B * MU, img, img, 3)), dt)
+    t_k = jnp.asarray(rng.integers(0, 6, (K, B)), jnp.int64)
+    core = trainer._train_core
+
+    @jax.jit
+    def multi_core(state, xk, uwk, usk, tk, weights, rng):
+        def body(carry, inp):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            x, uw, us, t = inp
+            new_st, loss, _ = core(st, x, uw, us, t, weights, sub)
+            return (new_st, key), loss
+
+        (new_state, _), losses = jax.lax.scan(
+            body, (state, rng), (xk, uwk, usk, tk))
+        return new_state, losses
+
+    box = {"state": trainer.state, "loss": None}
+
+    def run():
+        box["state"], losses = multi_core(
+            box["state"], x_lb_k, u_w_k, u_s_k, t_k, weights,
+            trainer._next_rng())
+        box["loss"] = losses
+
+    run(); run(); float(box["loss"][-1])
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        run()
+    float(box["loss"][-1])
+    core_ms = (time.perf_counter() - t0) / (calls * K) * 1e3
+
+    single_args = (trainer.state, x_lb_k[0], u_w_k[0], u_s_k[0], t_k[0],
+                   weights, trainer._next_rng())
+    flops, bytes_ = _cost_per_step(jax.jit(core), single_args)
+    return core_ms, flops, bytes_
+
+
+def measure_views(img: int, calls: int) -> float:
+    """ms/step of the view stage alone (labeled + weak/strong)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopy_tpu.aug.views import fixmatch_views, labeled_train_view
+
+    size = int(img * 1.2)
+    rng = np.random.default_rng(1)
+    xk = jnp.asarray(rng.integers(0, 255, (K, B, size, size, 3)), jnp.uint8)
+    uk = jnp.asarray(
+        rng.integers(0, 255, (K, B * MU, size, size, 3)), jnp.uint8)
+
+    @jax.jit
+    def loop(xk, uk, key):
+        def body(carry, inp):
+            key = jax.random.fold_in(carry, 1)
+            x_u8, u_u8 = inp
+            k_lb, k_v = jax.random.split(key)
+            x = labeled_train_view(x_u8, k_lb, img, jnp.bfloat16)
+            w, s = fixmatch_views(u_u8, k_v, img, jnp.bfloat16)
+            probe = (jnp.sum(x[0, 0, 0].astype(jnp.float32))
+                     + jnp.sum(w[0, 0, 0].astype(jnp.float32))
+                     + jnp.sum(s[0, 0, 0].astype(jnp.float32)))
+            return key, probe
+        _, outs = jax.lax.scan(body, key, (xk, uk))
+        return outs[-1]
+
+    seed = {"i": 0}
+
+    def run():
+        seed["i"] += 1
+        return loop(xk, uk, jax.random.key(seed["i"] % 5))
+
+    float(run()); float(run())
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        r = run()
+    float(r)
+    return (time.perf_counter() - t0) / (calls * K) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--calls", type=int, default=5)
+    ap.add_argument("--parts", default="full,core,views,ab")
+    args = ap.parse_args()
+    parts = args.parts.split(",")
+    t0 = time.time()
+
+    from endoscopy_tpu.aug import views as views_mod
+    from endoscopy_tpu.ops import randaugment_kernel as rk
+
+    full_ms = core_ms = None
+    if "full" in parts:
+        trainer, sharded, weights = build(args.img)
+        print(f"[{time.time()-t0:.0f}s] trainer built", flush=True)
+        full_ms = measure_multi(trainer, sharded, weights, args.calls)
+        print(f"full step:  {full_ms:7.2f} ms "
+              f"({IMGS_PER_STEP / full_ms * 1e3:.0f} img/s)", flush=True)
+
+    if "core" in parts:
+        if "full" not in parts:
+            trainer, sharded, weights = build(args.img)
+        core_ms, flops, bytes_ = measure_core(
+            trainer, weights, args.img, args.calls)
+        line = f"core step:  {core_ms:7.2f} ms (views precomputed)"
+        if bytes_ is not None:
+            hbm = bytes_ / (V5E_HBM_GBPS * 1e9) * 1e3
+            mxu = flops / (V5E_BF16_TFLOPS * 1e12) * 1e3
+            line += (f"  bytes={bytes_/1e9:.2f} GB flops={flops/1e12:.2f} TF"
+                     f"  HBM floor {hbm:.2f} ms  MXU floor {mxu:.2f} ms"
+                     f"  headroom x{core_ms / max(hbm, mxu):.2f}")
+        print(line, flush=True)
+        if full_ms is not None:
+            print(f"in-situ view cost (full - core): "
+                  f"{full_ms - core_ms:7.2f} ms", flush=True)
+
+    if "views" in parts:
+        v_ms = measure_views(args.img, args.calls)
+        print(f"views alone:{v_ms:7.2f} ms (labeled+weak+strong)", flush=True)
+
+    if "ab" in parts:
+        combos = [("bf16io", dict(io=True, ds=False)),
+                  ("cropDS", dict(io=False, ds=True)),
+                  ("both", dict(io=True, ds=True))]
+        for name, flags in combos:
+            views_mod.PALLAS_NATIVE_DTYPE_IO = flags["io"]
+            rk.CROP_ROWS_DYNAMIC_SLICE = flags["ds"]
+            try:
+                trainer, sharded, weights = build(args.img)
+                ms = measure_multi(trainer, sharded, weights, args.calls)
+                delta = f" ({ms - full_ms:+.2f} vs base)" if full_ms else ""
+                print(f"A/B {name:7s}: {ms:7.2f} ms"
+                      f" ({IMGS_PER_STEP / ms * 1e3:.0f} img/s){delta}",
+                      flush=True)
+            except Exception as e:  # Mosaic rejection on one leg: report on
+                print(f"A/B {name:7s}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+        views_mod.PALLAS_NATIVE_DTYPE_IO = False
+        rk.CROP_ROWS_DYNAMIC_SLICE = False
+
+
+if __name__ == "__main__":
+    main()

@@ -25,4 +25,7 @@ python bench.py --table
 echo "== serving bench =="
 python tools/bench_serving.py --calls 20
 
+echo "== 224px residual attribution + candidate A/B (VERDICT r4 item 2) =="
+python tools/profile_224_residual.py --img 224
+
 echo "Done. Update README.md / PERF.md / docs/serving.md numbers and commit."
