@@ -39,18 +39,17 @@ sys.path.insert(0, ".")
 
 from bench import V5E_BF16_TFLOPS, V5E_HBM_GBPS, _cost_per_step  # noqa: E402
 
-B, MU, K = 32, 7, 8
-IMGS_PER_STEP = B * (1 + 2 * MU)
+B, MU, K = 32, 7, 8  # flagship shapes; --model/--b/--mu/--k for CPU smoke
 
 
-def build(img: int):
+def build(img: int, model: str = "resnet50"):
     import jax.numpy as jnp
 
     from bench import _canonical_batches, _mk_cfg
     from endoscopy_tpu.models import build_model
     from endoscopy_tpu.train.fixmatch import FixMatch
 
-    cfg = _mk_cfg("resnet50", img, B, MU, "FixMatch")
+    cfg = _mk_cfg(model, img, B, MU, "FixMatch")
     trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
     trainer.train_dl = trainer.valid_dl = None
     trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
@@ -89,7 +88,7 @@ def measure_core(trainer, weights, img: int, calls: int):
     x_lb_k = jnp.asarray(rng.standard_normal((K, B, img, img, 3)), dt)
     u_w_k = jnp.asarray(rng.standard_normal((K, B * MU, img, img, 3)), dt)
     u_s_k = jnp.asarray(rng.standard_normal((K, B * MU, img, img, 3)), dt)
-    t_k = jnp.asarray(rng.integers(0, 6, (K, B)), jnp.int64)
+    t_k = jnp.asarray(rng.integers(0, 6, (K, B)), jnp.int32)
     core = trainer._train_core
 
     @jax.jit
@@ -169,12 +168,19 @@ def measure_views(img: int, calls: int) -> float:
 
 
 def main():
+    global B, MU, K
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--calls", type=int, default=5)
     ap.add_argument("--parts", default="full,core,views,ab")
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--b", type=int, default=B)
+    ap.add_argument("--mu", type=int, default=MU)
+    ap.add_argument("--k", type=int, default=K)
     args = ap.parse_args()
+    B, MU, K = args.b, args.mu, args.k
     parts = args.parts.split(",")
+    imgs_per_step = B * (1 + 2 * MU)
     t0 = time.time()
 
     from endoscopy_tpu.aug import views as views_mod
@@ -182,15 +188,15 @@ def main():
 
     full_ms = core_ms = None
     if "full" in parts:
-        trainer, sharded, weights = build(args.img)
+        trainer, sharded, weights = build(args.img, args.model)
         print(f"[{time.time()-t0:.0f}s] trainer built", flush=True)
         full_ms = measure_multi(trainer, sharded, weights, args.calls)
         print(f"full step:  {full_ms:7.2f} ms "
-              f"({IMGS_PER_STEP / full_ms * 1e3:.0f} img/s)", flush=True)
+              f"({imgs_per_step / full_ms * 1e3:.0f} img/s)", flush=True)
 
     if "core" in parts:
         if "full" not in parts:
-            trainer, sharded, weights = build(args.img)
+            trainer, sharded, weights = build(args.img, args.model)
         core_ms, flops, bytes_ = measure_core(
             trainer, weights, args.img, args.calls)
         line = f"core step:  {core_ms:7.2f} ms (views precomputed)"
@@ -217,11 +223,11 @@ def main():
             views_mod.PALLAS_NATIVE_DTYPE_IO = flags["io"]
             rk.CROP_ROWS_DYNAMIC_SLICE = flags["ds"]
             try:
-                trainer, sharded, weights = build(args.img)
+                trainer, sharded, weights = build(args.img, args.model)
                 ms = measure_multi(trainer, sharded, weights, args.calls)
                 delta = f" ({ms - full_ms:+.2f} vs base)" if full_ms else ""
                 print(f"A/B {name:7s}: {ms:7.2f} ms"
-                      f" ({IMGS_PER_STEP / ms * 1e3:.0f} img/s){delta}",
+                      f" ({imgs_per_step / ms * 1e3:.0f} img/s){delta}",
                       flush=True)
             except Exception as e:  # Mosaic rejection on one leg: report on
                 print(f"A/B {name:7s}: FAILED {type(e).__name__}: "
