@@ -10,6 +10,15 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# Single-flight: two recovery watchers firing at once would contend on the
+# one TPU chip and corrupt every number. First one in wins; later entrants
+# exit loudly.
+exec 9>/tmp/refresh_bench.lock
+if ! flock -n 9; then
+  echo "refresh_bench: another refresh is already running (lock held); exiting" >&2
+  exit 3
+fi
+
 echo "== backend probe (fails fast if the relay is wedged) =="
 timeout 700 python - <<'EOF'
 import sys; sys.path.insert(0, ".")
