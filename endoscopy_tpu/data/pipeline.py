@@ -54,6 +54,23 @@ def decode_canonical(path: str, size: int) -> np.ndarray:
     img = cv2.imread(path)
     if img is None:
         raise FileNotFoundError(f"cv2 could not read image: {path}")
+    return _canonicalize_bgr(img, size)
+
+
+def decode_canonical_bytes(data: bytes, size: int) -> np.ndarray:
+    """In-memory variant of :func:`decode_canonical` for the serving path:
+    encoded image bytes (JPEG/PNG/...) → canonical uint8 (size, size, 3)."""
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("cv2 could not decode the image payload")
+    return _canonicalize_bgr(img, size)
+
+
+def _canonicalize_bgr(img: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if img.shape[0] != size or img.shape[1] != size:
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)

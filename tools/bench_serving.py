@@ -7,7 +7,13 @@ inputs (same convention as bench.py: the tunnel's host->device transfer is
 not the chip's serving capability; see PERF.md tunnel note).
 
 Usage: python tools/bench_serving.py [--model resnet50] [--img 112]
-       [--batches 1,8,32]
+       [--batches 1,8,32] [--http] [--http-seconds 10] [--http-clients 32]
+
+``--http`` additionally drives the full online path (cli.serve's
+micro-batching HTTP server on localhost): closed-loop clients posting raw
+canonical payloads, reporting achieved img/s, request-latency percentiles,
+and the realized batch-fill from /stats. Includes host-side HTTP + batching
+overhead on top of the chip number above it.
 """
 
 from __future__ import annotations
@@ -27,6 +33,10 @@ def main() -> None:
     ap.add_argument("--img", type=int, default=112)
     ap.add_argument("--batches", default="1,8,32")
     ap.add_argument("--calls", type=int, default=30)
+    ap.add_argument("--http", action="store_true",
+                    help="also bench the online HTTP micro-batching server")
+    ap.add_argument("--http-seconds", type=float, default=10.0)
+    ap.add_argument("--http-clients", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -78,6 +88,73 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / args.calls
         print(f"B={bs:3d}: {dt * 1e3:7.2f} ms/call, "
               f"{bs / dt:9.0f} img/s", flush=True)
+
+    if args.http:
+        _bench_http(blob, size, args.http_seconds, args.http_clients)
+
+
+def _bench_http(blob: bytes, size: int, seconds: float, clients: int) -> None:
+    """Closed-loop load against the real cli.serve stack on localhost."""
+    import json
+    import tempfile
+    import threading
+    import time as _time
+    import urllib.request
+
+    from endoscopy_tpu.serve.server import make_server
+
+    with tempfile.NamedTemporaryFile(suffix=".jaxexport") as f:
+        f.write(blob)
+        f.flush()
+        server = make_server(f.name, host="127.0.0.1", port=0,
+                             max_wait_ms=2.0, log=lambda *_: None)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/predict"
+    rng = np.random.default_rng(1)
+    payloads = [rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+                .tobytes() for _ in range(64)]
+
+    lat: list = []
+    stop = _time.monotonic() + seconds
+    lock = threading.Lock()
+
+    def client(i: int) -> None:
+        k = i
+        while _time.monotonic() < stop:
+            req = urllib.request.Request(
+                url, data=payloads[k % len(payloads)], method="POST",
+                headers={"Content-Type": "application/octet-stream"})
+            t0 = _time.perf_counter()
+            with urllib.request.urlopen(req, timeout=120) as r:
+                r.read()
+            with lock:
+                lat.append(_time.perf_counter() - t0)
+            k += clients
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(clients)]
+    t0 = _time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=seconds + 120)
+    wall = _time.monotonic() - t0
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    server.close()
+    lat.sort()
+    n = len(lat)
+    if n == 0:
+        print("HTTP: no requests completed", flush=True)
+        return
+    print(f"HTTP ({clients} closed-loop clients, {wall:.1f}s): "
+          f"{n / wall:8.0f} img/s end-to-end, "
+          f"p50 {lat[n // 2] * 1e3:.1f} ms, "
+          f"p99 {lat[int(n * 0.99)] * 1e3:.1f} ms, "
+          f"mean batch fill {stats['mean_fill']:.2f}, "
+          f"buckets {stats['bucket_hist']}", flush=True)
 
 
 if __name__ == "__main__":
