@@ -31,8 +31,8 @@ EOF
 echo "== bench table (writes BENCH_TABLE.md; ~20-30 min of compiles) =="
 python bench.py --table
 
-echo "== serving bench =="
-python tools/bench_serving.py --calls 20
+echo "== serving bench (chip path + online HTTP micro-batching path) =="
+python tools/bench_serving.py --calls 20 --http
 
 echo "== 224px residual attribution + candidate A/B (VERDICT r4 item 2) =="
 python tools/profile_224_residual.py --img 224
