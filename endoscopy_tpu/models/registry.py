@@ -161,10 +161,10 @@ def build_model(config, is_pathology: bool = True) -> nn.Module:
                                        ("CHANNEL_RATIO", "channel_ratio"))
                      if config.MODEL.get(key) is not None}
         if overrides:
-            kw = dict(patch_size=16, channel_ratio=1, embed_dim=384,
-                      depth=12, num_heads=6, mlp_ratio=4.0, qkv_bias=True)
-            kw.update(overrides)
-            return Conformer(num_classes=num_classes, dtype=dtype, **kw)
+            # Conformer's dataclass defaults ARE the Ti dims, so only the
+            # overridden fields need passing.
+            return Conformer(num_classes=num_classes, dtype=dtype,
+                             **overrides)
         return conformer_tiny(num_classes=num_classes, dtype=dtype)
 
     backbone = create_backbone(name, dtype=dtype)

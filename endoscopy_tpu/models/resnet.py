@@ -73,8 +73,13 @@ class Bottleneck(nn.Module):
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
         out_ch = self.filters * self.expansion
         residual = x
-        s1 = self.strides if self.stride_on_conv1 else 1
-        s2 = 1 if self.stride_on_conv1 else self.strides
+        # A SASA block has no strided conv2 to carry the stage stride, so it
+        # must stride on conv1 even when the caller didn't opt into the
+        # v1-style net-wide placement (sasa.py:178-200) — otherwise the
+        # residual add would see mismatched spatial dims.
+        stride_first = self.stride_on_conv1 or self.spatial_sasa
+        s1 = self.strides if stride_first else 1
+        s2 = 1 if stride_first else self.strides
 
         y = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)

@@ -112,10 +112,22 @@ class BucketBatcher:
                 return b
         return self._buckets[-1]
 
+    def _drain_on_stop(self) -> None:
+        """Fail any requests that raced past close(): their Futures must
+        resolve or the submitting handler blocks out its full timeout."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not _STOP:
+                item[1].set_exception(RuntimeError("server shutting down"))
+
     def _collect(self):
         """Block for the first request, then linger up to max_wait_ms."""
         first = self._q.get()
         if first is _STOP:
+            self._drain_on_stop()
             return None
         group = [first]
         deadline = time.monotonic() + self._max_wait_s
@@ -190,6 +202,11 @@ class _Handler(BaseHTTPRequestHandler):
         size = self.server.contract["input_size"]
         try:
             length = int(self.headers.get("Content-Length", 0))
+            # Bound the read: a negative length would block until the
+            # client closes (rfile.read(-N) reads to EOF), and an absurd
+            # one would balloon memory. 64 MiB >> any canonical image.
+            if not 0 < length <= 64 << 20:
+                raise ValueError(f"bad Content-Length {length}")
             raw = self.rfile.read(length)
             ctype = self.headers.get("Content-Type",
                                      "application/octet-stream")

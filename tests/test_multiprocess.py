@@ -69,7 +69,6 @@ def _run_pair(out_dir: Path, phase: str, ckpt_dir: str = "",
               attempts: int = 2):
     """Run a 2-worker phase; on timeout kill + dump logs; retry once on the
     coordinator-port bind race (fresh port per attempt)."""
-    last_logs = []
     for attempt in range(attempts):
         port = _free_port()
         procs, outs = _launch_pair(out_dir, phase, ckpt_dir, port)
@@ -84,7 +83,6 @@ def _run_pair(out_dir: Path, phase: str, ckpt_dir: str = "",
                     q.kill()
                 stdout, _ = p.communicate()
             logs.append(stdout or "")
-        last_logs = logs
         if timed_out:
             pytest.fail(
                 f"[{phase}] worker pair timed out after {PAIR_TIMEOUT_S}s "
@@ -102,8 +100,9 @@ def _run_pair(out_dir: Path, phase: str, ckpt_dir: str = "",
             pytest.fail(
                 f"[{phase}] workers exited {rcs};\n--- worker 0 ---\n"
                 f"{logs[0]}\n--- worker 1 ---\n{logs[1]}")
-    pytest.fail(f"[{phase}] exhausted retries;\n--- worker 0 ---\n"
-                f"{last_logs[0]}\n--- worker 1 ---\n{last_logs[1]}")
+    # Every loop path returns or fails: the last attempt takes the
+    # `not (retryable and ...)` fail branch unconditionally.
+    raise AssertionError(f"[{phase}] unreachable")
 
 
 def _reference_single_process():

@@ -105,6 +105,32 @@ def test_batcher_propagates_model_errors_and_keeps_serving():
         b.close()
 
 
+def test_batcher_request_racing_past_close_resolves_with_error():
+    """A submit that lands after close()'s stop marker must still resolve
+    (with an error) — an unresolved Future would block its handler thread
+    for the full request timeout."""
+    started, release = threading.Event(), threading.Event()
+
+    def infer(batch):
+        started.set()
+        release.wait(10)
+        return np.zeros((batch.shape[0], 4), np.float32)
+
+    b = BucketBatcher(infer, SIZE, buckets=(1,), max_wait_ms=1)
+    f1 = b.submit(_img(0))
+    assert started.wait(10)              # dispatcher is inside infer
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    time.sleep(0.2)                      # stop marker is now queued
+    f2 = b.submit(_img(1))               # races in AFTER the stop marker
+    release.set()
+    assert f1.result(timeout=10) is not None
+    with pytest.raises(RuntimeError, match="shutting down"):
+        f2.result(timeout=10)
+    closer.join(timeout=15)
+    assert not closer.is_alive()
+
+
 def test_batcher_rejects_wrong_shape():
     b = BucketBatcher(_stub_infer([]), SIZE, buckets=(1,))
     try:

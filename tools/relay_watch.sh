@@ -1,14 +1,16 @@
 #!/usr/bin/env bash
 # Watch the axon TPU relay and fire tools/refresh_bench.sh the moment it
-# recovers (round-3 outage recovery, VERDICT r4 item 1). Designed to run in
-# a tmux window:
+# recovers (round-3 outage recovery, VERDICT r4 item 1). Run detached:
 #
-#   tmux new-session -d -s relay 'bash tools/relay_watch.sh'
+#   nohup bash tools/relay_watch.sh > /tmp/relay_watch.out 2>&1 &
 #
-# Probes jax backend init with the bench watchdog every PERIOD seconds; on
-# the first healthy probe it runs the full artifact refresh, tee'd to
-# /tmp/refresh_bench_r4.log, and exits. Never SIGKILLs a tunnel client —
-# the watchdog exits the probe process cleanly on timeout.
+# Probes jax backend init + one jitted matmul every PERIOD seconds. Both
+# probe phases are covered by in-process watchdogs that os._exit() rather
+# than letting an external timeout SIGTERM a tunnel-attached client (a
+# signal-killed client leaves the relay session claimed and wedges every
+# later client — see bench.py::_backend_watchdog). On the first healthy
+# probe it runs the full artifact refresh and exits 0 on success; a failed
+# refresh keeps the watcher alive to retry next period.
 set -u
 cd "$(dirname "$0")/.."
 PERIOD=${1:-300}
@@ -16,23 +18,44 @@ LOG=${2:-/tmp/relay_watch.log}
 
 while true; do
   echo "$(date -u +%FT%TZ) probing relay..." | tee -a "$LOG"
-  if timeout 400 python - <<'EOF' >>"$LOG" 2>&1
-import sys; sys.path.insert(0, ".")
+  # No external `timeout`: the python watchdogs below cover init (300s,
+  # rc=17) and the compute phase (300s, rc=18) with clean process exits.
+  if PYTHONPATH=/root/repo:/root/.axon_site python - <<'EOF' >>"$LOG" 2>&1
+import os, sys, threading
+sys.path.insert(0, ".")
 from bench import _backend_watchdog
-_backend_watchdog(300)
+_backend_watchdog(300)          # covers jax backend init; rc=17 on hang
 import jax
 d = jax.devices()
 assert d and d[0].platform != "cpu", d
+
+done = threading.Event()
+def bark():
+    if not done.wait(300):
+        print("relay_watch: compute probe did not complete in 300s",
+              file=sys.stderr, flush=True)
+        os._exit(18)
+threading.Thread(target=bark, daemon=True).start()
 import jax.numpy as jnp
 x = jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128), jnp.bfloat16))
+x.block_until_ready()
+done.set()
 print("relay healthy:", d, float(x))
 EOF
   then
     echo "$(date -u +%FT%TZ) RELAY HEALTHY — running refresh_bench" | tee -a "$LOG"
-    bash tools/refresh_bench.sh 2>&1 | tee /tmp/refresh_bench_r4.log
-    echo "$(date -u +%FT%TZ) refresh_bench done rc=$?" | tee -a "$LOG"
-    exit 0
+    bash tools/refresh_bench.sh > /tmp/refresh_bench_r4.log 2>&1
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
+      echo "$(date -u +%FT%TZ) refresh_bench done rc=0" | tee -a "$LOG"
+      exit 0
+    elif [ "$rc" -eq 3 ]; then
+      echo "$(date -u +%FT%TZ) refresh already running elsewhere (lock); exiting" | tee -a "$LOG"
+      exit 0
+    fi
+    echo "$(date -u +%FT%TZ) refresh_bench FAILED rc=$rc (see /tmp/refresh_bench_r4.log); retrying next period" | tee -a "$LOG"
+  else
+    echo "$(date -u +%FT%TZ) still wedged; sleeping $PERIOD" | tee -a "$LOG"
   fi
-  echo "$(date -u +%FT%TZ) still wedged; sleeping $PERIOD" | tee -a "$LOG"
   sleep "$PERIOD"
 done

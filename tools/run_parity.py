@@ -167,6 +167,10 @@ def main(argv=None) -> int:
     if not args.synthetic and not args.data_root:
         ap.error("--data-root is required unless --synthetic")
 
+    # Absolute work dir: synthetic rows write configs under it and the main
+    # loop re-reads them — a CWD-relative path would be re-joined onto REPO
+    # below and break when invoked from outside the repo root.
+    args.work_dir = os.path.abspath(args.work_dir)
     os.makedirs(args.work_dir, exist_ok=True)
     want = {int(r) for r in args.rows.split(",")}
 
