@@ -115,21 +115,29 @@ def _shift_cols(img: jnp.ndarray, shifts: jnp.ndarray,
     return _shift_rows(img.swapaxes(0, 1), shifts, max_shift).swapaxes(0, 1)
 
 
+def pil_shear_shifts(coef: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-index source shifts of Pillow's NEAREST affine for a shear row
+    (1, coef, 0). Pillow quantizes the matrix to 16.16 fixed point and
+    accumulates in integers (Geometry.c affine_fixed: FIX(t) =
+    floor(t*65536 + 0.5); start = FIX(c + a*0.5 + b*0.5); xin = xx >> 16),
+    so shift(i) = (FIX(coef)*i + FIX(0.5 + 0.5*coef)) >> 16. Replicating
+    the quantization makes shear bit-exact vs PIL — floor(coef*(i+0.5)+0.5)
+    is off by one whole row wherever coef*(i+0.5) lands exactly on a half
+    (e.g. every 5th row at coef=0.2)."""
+    a1 = jnp.floor(coef * 65536.0 + 0.5).astype(jnp.int32)
+    a2 = jnp.floor((0.5 + 0.5 * coef) * 65536.0 + 0.5).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    return (a1 * idx + a2) >> 16  # arithmetic shift: floor, like Pillow's C
+
+
 def shear_x(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """img.transform(AFFINE, (1, v, 0, 0, 1, 0)) (randaugment.py:92-96):
-    x_in = x + v*y at pixel centers → per-row shift floor(0.5 + v*(y+0.5))."""
-    h = img.shape[0]
-    yc = jax.lax.broadcasted_iota(jnp.float32, (h,), 0) + 0.5
-    # floor((x+0.5) + v*(y+0.5)) - x = floor(v*(y+0.5) + 0.5) for integer x
-    shifts = jnp.floor(v * yc + 0.5).astype(jnp.int32)
-    return _shift_rows(img, shifts)
+    x_in = x + v*y in PIL's 16.16 fixed-point arithmetic."""
+    return _shift_rows(img, pil_shear_shifts(v, img.shape[0]))
 
 
 def shear_y(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    w = img.shape[1]
-    xc = jax.lax.broadcasted_iota(jnp.float32, (w,), 0) + 0.5
-    shifts = jnp.floor(v * xc + 0.5).astype(jnp.int32)
-    return _shift_cols(img, shifts)
+    return _shift_cols(img, pil_shear_shifts(v, img.shape[1]))
 
 
 def translate_x(img: jnp.ndarray, pixels: jnp.ndarray) -> jnp.ndarray:

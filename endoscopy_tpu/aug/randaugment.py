@@ -70,8 +70,9 @@ def _geometry_shifts(op, v, sign, h: int, w: int):
     rot_cols = jnp.floor(b * (xc - cx) + 0.5).astype(jnp.int32)
 
     shear = sign * _float_param(v, 0.3)
-    shear_rows = jnp.floor(shear * yc + 0.5).astype(jnp.int32)
-    shear_cols = jnp.floor(shear * xc + 0.5).astype(jnp.int32)
+    # PIL 16.16 fixed-point shear convention (see ops.pil_shear_shifts)
+    shear_rows = ops.pil_shear_shifts(shear, h)
+    shear_cols = ops.pil_shear_shifts(shear, w)
 
     # translate: int(v * size) truncates toward zero (randaugment.py:123-136)
     trans_x = jnp.trunc(sign * _float_param(v, 0.3) * w).astype(jnp.int32)
@@ -197,8 +198,9 @@ def _pc_geometry_shifts(op, v, sign, h: int, w: int):
     rot_cols = jnp.floor(b * (xc - w / 2.0) + 0.5).astype(jnp.int32)
 
     shear = sign * _float_param(v, 0.3)
-    shear_rows = jnp.floor(shear * yc + 0.5).astype(jnp.int32)
-    shear_cols = jnp.floor(shear * xc + 0.5).astype(jnp.int32)
+    # PIL 16.16 fixed-point shear convention (see ops.pil_shear_shifts)
+    shear_rows = ops.pil_shear_shifts(shear, h)
+    shear_cols = ops.pil_shear_shifts(shear, w)
 
     trans_x = jnp.trunc(sign * _float_param(v, 0.45) * w).astype(jnp.int32)
     trans_y = jnp.trunc(sign * _float_param(v, 0.45) * h).astype(jnp.int32)

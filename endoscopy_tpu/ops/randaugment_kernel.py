@@ -90,14 +90,21 @@ def _geometry(plane, op, v, sign, h: int, w: int, PAD: int):
     yf = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32) + 0.5
     xf = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32) + 0.5
 
+    # PIL 16.16 fixed-point shear (aug/ops.py::pil_shear_shifts — keep the
+    # two paths bit-identical: tests/test_pallas_kernel.py compares them)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    sa1 = jnp.floor(shear * 65536.0 + 0.5).astype(jnp.int32)
+    sa2 = jnp.floor((0.5 + 0.5 * shear) * 65536.0 + 0.5).astype(jnp.int32)
+
     rot1 = jnp.floor(a * (yf - cy) + 0.5).astype(jnp.int32)
-    shx = jnp.floor(shear * yf + 0.5).astype(jnp.int32)
+    shx = (sa1 * yi + sa2) >> 16
     s1 = jnp.where(is_rot, rot1,
                    jnp.where(op == _OP_SHEAR_X, shx,
                              jnp.where(op == _OP_TRANSLATE_X,
                                        jnp.full((h, 1), trans_x), 0)))
     rot2 = jnp.floor(b * (xf - cx) + 0.5).astype(jnp.int32)
-    shy = jnp.floor(shear * xf + 0.5).astype(jnp.int32)
+    shy = (sa1 * xi + sa2) >> 16
     s2 = jnp.where(is_rot, rot2,
                    jnp.where(op == _OP_SHEAR_Y, shy,
                              jnp.where(op == _OP_TRANSLATE_Y,

@@ -119,18 +119,17 @@ def test_rotate_zero_is_identity(img):
 
 @pytest.mark.parametrize("v", [-0.2, 0.25])
 def test_shear_x(img, v):
+    # bit-exact: ops.pil_shear_shifts replicates PIL's 16.16 fixed point
     ref = np.array(pil(img).transform((W, H), PIL.Image.AFFINE, (1, v, 0, 0, 1, 0)))
     ours = np.asarray(ops.shear_x(jx(img), v))
-    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
-    assert bad.mean() < 0.08, bad.mean()
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
 
 
 @pytest.mark.parametrize("v", [-0.2, 0.25])
 def test_shear_y(img, v):
     ref = np.array(pil(img).transform((W, H), PIL.Image.AFFINE, (1, 0, 0, v, 1, 0)))
     ours = np.asarray(ops.shear_y(jx(img), v))
-    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
-    assert bad.mean() < 0.08, bad.mean()
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
 
 
 @pytest.mark.parametrize("px", [-7, 5])
@@ -221,12 +220,16 @@ _PROP_IMG = np.random.default_rng(7).integers(
 @given(v=st.floats(min_value=-0.3, max_value=0.3,
                    allow_nan=False, allow_subnormal=False))
 def test_shear_x_property(v):
+    # ops computes PIL's fixed-point coefficients in f32 while PIL uses f64;
+    # an arbitrary float64 v can straddle a FIX() rounding boundary and move
+    # ONE transition row — allow that single row, nothing more (exactness on
+    # CI-stable magnitudes is pinned by test_shear_grid_exact).
     h, w = _PROP_IMG.shape[:2]
     ref = np.array(pil(_PROP_IMG).transform(
         (w, h), PIL.Image.AFFINE, (1, v, 0, 0, 1, 0)))
     ours = np.asarray(ops.shear_x(jx(_PROP_IMG), float(v)))
-    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
-    assert bad.mean() < 0.08, (v, bad.mean())
+    bad_rows = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=(1, 2))
+    assert bad_rows.sum() <= 1, (v, np.where(bad_rows)[0])
 
 
 @settings(max_examples=25, deadline=None)
@@ -237,8 +240,26 @@ def test_shear_y_property(v):
     ref = np.array(pil(_PROP_IMG).transform(
         (w, h), PIL.Image.AFFINE, (1, 0, 0, v, 1, 0)))
     ours = np.asarray(ops.shear_y(jx(_PROP_IMG), float(v)))
-    bad = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=-1)
-    assert bad.mean() < 0.08, (v, bad.mean())
+    bad_cols = (np.abs(ours - ref.astype(np.float32)) > 1).any(axis=(0, 2))
+    assert bad_cols.sum() <= 1, (v, np.where(bad_cols)[0])
+
+
+def test_shear_grid_exact():
+    """Bit-exact PIL parity at every 0.01 step of the RandAugment shear
+    range: the 16.16 fixed-point emulation (ops.pil_shear_shifts) must
+    reproduce PIL's NEAREST affine including its quantization quirks (e.g.
+    v=0.2's off-by-one boundary rows under the naive floor convention)."""
+    h, w = _PROP_IMG.shape[:2]
+    for k in range(-30, 31):
+        v = k / 100.0
+        ref = np.array(pil(_PROP_IMG).transform(
+            (w, h), PIL.Image.AFFINE, (1, v, 0, 0, 1, 0)))
+        ours = np.asarray(ops.shear_x(jx(_PROP_IMG), v))
+        np.testing.assert_array_equal(ours, ref.astype(np.float32), err_msg=f"shear_x v={v}")
+        ref = np.array(pil(_PROP_IMG).transform(
+            (w, h), PIL.Image.AFFINE, (1, 0, 0, v, 1, 0)))
+        ours = np.asarray(ops.shear_y(jx(_PROP_IMG), v))
+        np.testing.assert_array_equal(ours, ref.astype(np.float32), err_msg=f"shear_y v={v}")
 
 
 @settings(max_examples=25, deadline=None)
