@@ -44,7 +44,7 @@ import time
 
 import numpy as np
 
-A100_REFERENCE_IMGS_PER_SEC = 700.0  # estimated; see module docstring
+A100_REFERENCE_IMGS_PER_SEC = 700.0  # measurement-anchored; see docstring
 
 V5E_HBM_GBPS = 819.0       # v5e HBM bandwidth
 V5E_BF16_TFLOPS = 197.0    # v5e bf16 peak
