@@ -48,6 +48,14 @@ EOF
     rc=$?
     if [ "$rc" -eq 0 ]; then
       echo "$(date -u +%FT%TZ) refresh_bench done rc=0" | tee -a "$LOG"
+      # Preserve the measurements even if no interactive session is alive:
+      # keep the full refresh log in-repo and commit it with the regenerated
+      # table (explicit pathspecs — never sweeps unrelated staged work).
+      mkdir -p perf_runs
+      cp /tmp/refresh_bench_r4.log "perf_runs/refresh_$(date -u +%Y%m%dT%H%M%SZ).log"
+      git add perf_runs && git commit -q \
+        -m "TPU artifact refresh: BENCH_TABLE + serving + 224px residual logs (auto-captured on relay recovery)" \
+        -- BENCH_TABLE.md perf_runs || true
       exit 0
     elif [ "$rc" -eq 3 ]; then
       echo "$(date -u +%FT%TZ) refresh already running elsewhere (lock); exiting" | tee -a "$LOG"
