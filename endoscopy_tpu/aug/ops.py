@@ -124,10 +124,19 @@ def pil_shear_shifts(coef: jnp.ndarray, n: int) -> jnp.ndarray:
     the quantization makes shear bit-exact vs PIL — floor(coef*(i+0.5)+0.5)
     is off by one whole row wherever coef*(i+0.5) lands exactly on a half
     (e.g. every 5th row at coef=0.2)."""
-    a1 = jnp.floor(coef * 65536.0 + 0.5).astype(jnp.int32)
-    a2 = jnp.floor((0.5 + 0.5 * coef) * 65536.0 + 0.5).astype(jnp.int32)
+    a1, a2 = pil_fix_coeffs(coef)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     return (a1 * idx + a2) >> 16  # arithmetic shift: floor, like Pillow's C
+
+
+def pil_fix_coeffs(coef):
+    """Pillow's quantized 16.16 coefficients for a shear row (1, coef, 0):
+    (FIX(coef), FIX(0.5 + 0.5*coef)). Shared with the Pallas kernel, which
+    builds its own 2-D iota (Mosaic rejects 1-D iota) but must use the SAME
+    quantization to stay bit-identical to this path."""
+    a1 = jnp.floor(coef * 65536.0 + 0.5).astype(jnp.int32)
+    a2 = jnp.floor((0.5 + 0.5 * coef) * 65536.0 + 0.5).astype(jnp.int32)
+    return a1, a2
 
 
 def shear_x(img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -159,7 +159,7 @@ def build_model(config, is_pathology: bool = True) -> nn.Module:
                                        ("MLP_RATIO", "mlp_ratio"),
                                        ("PATCH_SIZE", "patch_size"),
                                        ("CHANNEL_RATIO", "channel_ratio"))
-                     if config.MODEL.get(key) is not None}
+                     if not is_none(config.MODEL.get(key))}
         if overrides:
             # Conformer's dataclass defaults ARE the Ti dims, so only the
             # overridden fields need passing.

@@ -29,6 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from endoscopy_tpu.aug.ops import pil_fix_coeffs
 from endoscopy_tpu.aug.randaugment import sample_slot_params
 
 # Crop-fusion row addressing: False = bit-decomposed sublane rotations
@@ -90,12 +91,10 @@ def _geometry(plane, op, v, sign, h: int, w: int, PAD: int):
     yf = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32) + 0.5
     xf = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32) + 0.5
 
-    # PIL 16.16 fixed-point shear (aug/ops.py::pil_shear_shifts — keep the
-    # two paths bit-identical: tests/test_pallas_kernel.py compares them)
+    # PIL 16.16 fixed-point shear; 2-D iota because Mosaic rejects 1-D
     yi = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
     xi = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-    sa1 = jnp.floor(shear * 65536.0 + 0.5).astype(jnp.int32)
-    sa2 = jnp.floor((0.5 + 0.5 * shear) * 65536.0 + 0.5).astype(jnp.int32)
+    sa1, sa2 = pil_fix_coeffs(shear)
 
     rot1 = jnp.floor(a * (yf - cy) + 0.5).astype(jnp.int32)
     shx = (sa1 * yi + sa2) >> 16

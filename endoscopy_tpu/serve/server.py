@@ -64,6 +64,7 @@ class BucketBatcher:
         self._buckets = tuple(sorted(set(int(b) for b in buckets)))
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "errors": 0,
@@ -83,7 +84,15 @@ class BucketBatcher:
                 f"image shape {image_u8.shape} != canonical "
                 f"({self._size}, {self._size}, 3)")
         fut: Future = Future()
+        if self._closed:
+            fut.set_exception(RuntimeError("server shutting down"))
+            return fut
         self._q.put((np.asarray(image_u8, np.uint8), fut))
+        # narrow race: the dispatcher drained and exited between the flag
+        # check and the put — nobody will service the queue, so fail any
+        # stranded items ourselves (idempotent)
+        if self._closed and not self._thread.is_alive():
+            self._drain_on_stop()
         return fut
 
     def stats(self) -> dict:
@@ -101,8 +110,10 @@ class BucketBatcher:
             }
 
     def close(self) -> None:
+        self._closed = True
         self._q.put(_STOP)
         self._thread.join(timeout=30)
+        self._drain_on_stop()  # submits that raced past the dispatcher's drain
 
     # -- dispatcher ---------------------------------------------------------
 
@@ -158,14 +169,22 @@ class BucketBatcher:
                 t0 = time.monotonic()
                 probs = np.asarray(self._infer(batch))
                 dt_ms = (time.monotonic() - t0) * 1e3
+                # contract check INSIDE the try: a malformed artifact output
+                # must fail this group's futures, not kill the dispatcher
+                # thread (which would leave every later submit hanging)
+                if probs.ndim < 2 or probs.shape[0] < len(group):
+                    raise RuntimeError(
+                        f"infer returned shape {probs.shape} for a "
+                        f"{bucket}-batch holding {len(group)} requests")
+                rows = [probs[i] for i in range(len(group))]
             except Exception as exc:  # noqa: BLE001 — forwarded to callers
                 with self._lock:
                     self._stats["errors"] += len(group)
                 for _, fut in group:
                     fut.set_exception(exc)
                 continue
-            for i, (_, fut) in enumerate(group):
-                fut.set_result(probs[i])
+            for (_, fut), row in zip(group, rows):
+                fut.set_result(row)
             with self._lock:
                 self._stats["requests"] += len(group)
                 self._stats["batches"] += 1
@@ -180,6 +199,11 @@ class _Handler(BaseHTTPRequestHandler):
     # self.server is the ModelServer below
 
     def _reply(self, code: int, payload: dict) -> None:
+        if code >= 400:
+            # error paths may not have consumed the request body; on an
+            # HTTP/1.1 keep-alive connection the unread bytes would be
+            # parsed as the NEXT request line — drop the connection instead
+            self.close_connection = True
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")

@@ -105,6 +105,36 @@ def test_batcher_propagates_model_errors_and_keeps_serving():
         b.close()
 
 
+def test_batcher_survives_malformed_infer_output():
+    """An infer_fn that breaks the (bucket, C) contract must fail that
+    group's futures — not kill the dispatcher thread (which would leave
+    every later request hanging out its timeout)."""
+    state = {"bad": True}
+
+    def infer(batch):
+        if state["bad"]:
+            return np.float32(0.0)  # scalar: no rows to distribute
+        return np.ones((batch.shape[0], 4), np.float32)
+
+    b = BucketBatcher(infer, SIZE, buckets=(1,), max_wait_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="infer returned shape"):
+            b.submit(_img(0)).result(timeout=10)
+        state["bad"] = False
+        assert b.submit(_img(0)).result(timeout=10)[0] == 1.0
+        assert b.stats()["errors"] == 1
+    finally:
+        b.close()
+
+
+def test_submit_after_close_fails_fast():
+    b = BucketBatcher(_stub_infer([]), SIZE, buckets=(1,), max_wait_ms=1)
+    b.close()
+    fut = b.submit(_img(0))
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=1)  # resolved instantly, no queue wait
+
+
 def test_batcher_request_racing_past_close_resolves_with_error():
     """A submit that lands after close()'s stop marker must still resolve
     (with an error) — an unresolved Future would block its handler thread

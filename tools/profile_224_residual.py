@@ -146,9 +146,12 @@ def measure_views(img: int, calls: int) -> float:
             k_lb, k_v = jax.random.split(key)
             x = labeled_train_view(x_u8, k_lb, img, jnp.bfloat16)
             w, s = fixmatch_views(u_u8, k_v, img, jnp.bfloat16)
-            probe = (jnp.sum(x[0, 0, 0].astype(jnp.float32))
-                     + jnp.sum(w[0, 0, 0].astype(jnp.float32))
-                     + jnp.sum(s[0, 0, 0].astype(jnp.float32)))
+            # reduce over the FULL arrays: a sliced probe (e.g. x[0,0,0])
+            # lets XLA dead-code-eliminate most of the non-Pallas view work
+            # and report kernel-only time as "views alone"
+            probe = (jnp.sum(x.astype(jnp.float32))
+                     + jnp.sum(w.astype(jnp.float32))
+                     + jnp.sum(s.astype(jnp.float32)))
             return key, probe
         _, outs = jax.lax.scan(body, key, (xk, uk))
         return outs[-1]

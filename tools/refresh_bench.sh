@@ -7,7 +7,9 @@
 # Produces/updates:
 #   - BENCH_TABLE.md (all rows incl. triplet_resnet50_224) + one JSON line
 #   - serving-path latency/throughput table (paste into docs/serving.md)
-set -uo pipefail
+# -e is load-bearing: consumers (relay_watch.sh) treat exit 0 as "refresh
+# succeeded" and auto-commit the artifacts — a failed bench step must abort.
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # Single-flight: two recovery watchers firing at once would contend on the
