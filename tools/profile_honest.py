@@ -159,8 +159,11 @@ def main() -> None:
                 x_u8 = (x_u8 + carry).astype(jnp.uint8)
                 xl = labeled_train_view(x_u8, k1, img, jnp.bfloat16)
                 w, s = fixmatch_views(u_u8, k2, img, jnp.bfloat16)
-                out = (jnp.sum(xl[0, 0, 0]) + jnp.sum(w[0, 0, 0])
-                       + jnp.sum(s[0, 0, 0]))
+                # full-array reductions: a sliced probe lets XLA dead-code-
+                # eliminate most of the non-Pallas view work (under-reports)
+                out = (jnp.sum(xl.astype(jnp.float32))
+                       + jnp.sum(w.astype(jnp.float32))
+                       + jnp.sum(s.astype(jnp.float32)))
                 return (carry + 1) % 7, out
             keys = jax.random.split(key, xk.shape[0])
             carry, outs = jax.lax.scan(one, seed_img, (xk, uk, keys))

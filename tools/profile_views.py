@@ -36,7 +36,11 @@ def timed_scan(fn, xs_shape, k, calls=5, seed=0):
             x_u8, kk = inp
             x_u8 = (x_u8 + carry).astype(jnp.uint8)
             out = fn(x_u8, kk)
-            return (carry + 1) % 7, jnp.sum(out[0, 0, 0].astype(jnp.float32))
+            # full-array reduction: a sliced probe lets XLA dead-code-
+            # eliminate the non-Pallas view work and under-report
+            leaves = jax.tree.leaves(out)
+            return (carry + 1) % 7, sum(
+                jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
         keys = jax.random.split(key, k)
         _, outs = jax.lax.scan(one, seed_off, (xk, keys))
         return outs[-1]
