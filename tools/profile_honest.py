@@ -18,6 +18,9 @@ Usage: python tools/profile_honest.py [--img 112] [--b 32] [--mu 7] [--k 8]
 from __future__ import annotations
 
 import argparse
+import sys
+
+sys.path.insert(0, ".")  # repo root (endoscopy_tpu) when run as tools/x.py
 import time
 
 import numpy as np

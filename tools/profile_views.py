@@ -15,6 +15,9 @@ Usage: python tools/profile_views.py [--img 112] [--b 32] [--mu 7]
 from __future__ import annotations
 
 import argparse
+import sys
+
+sys.path.insert(0, ".")  # repo root (endoscopy_tpu) when run as tools/x.py
 import functools
 import time
 
