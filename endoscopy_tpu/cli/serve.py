@@ -17,6 +17,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import signal
 
 from endoscopy_tpu.serve.server import make_server
 
@@ -47,9 +48,17 @@ def main(argv=None) -> None:
           f"[{c['backend']}] — input {c['input_size']}px, "
           f"{c['num_classes']} classes, buckets {c['buckets']}, "
           f"linger {args.max_wait_ms}ms")
+    # Graceful SIGTERM (the signal orchestrators send before SIGKILL):
+    # raising out of serve_forever in the main thread reaches the finally,
+    # which drains the batcher — in-flight requests finish, queued ones
+    # fail fast instead of dying mid-socket.
+    def _on_term(signum, frame):
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
     try:
         server.serve_forever()
-    except KeyboardInterrupt:
+    except (KeyboardInterrupt, SystemExit):
         print("shutting down")
     finally:
         server.close()
