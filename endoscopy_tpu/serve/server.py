@@ -109,10 +109,13 @@ class BucketBatcher:
                 "model_ms_p99": lat[int(len(lat) * 0.99)] if lat else None,
             }
 
-    def close(self) -> None:
+    def close(self, join_timeout_s: float = 30.0) -> None:
         self._closed = True
         self._q.put(_STOP)
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=join_timeout_s)
+        # This drain can consume the _STOP sentinel if the dispatcher is
+        # still inside a long infer_fn call when the join expires; that is
+        # safe because _collect polls _closed and exits without it.
         self._drain_on_stop()  # submits that raced past the dispatcher's drain
 
     # -- dispatcher ---------------------------------------------------------
@@ -136,8 +139,20 @@ class BucketBatcher:
 
     def _collect(self):
         """Block for the first request, then linger up to max_wait_ms."""
-        first = self._q.get()
-        if first is _STOP:
+        # Poll rather than block indefinitely: close() can legitimately
+        # consume the _STOP sentinel (its post-join drain races a dispatcher
+        # still inside a long infer_fn call), so the sentinel alone cannot
+        # be the only exit path — _closed is the authoritative signal.
+        while True:
+            try:
+                first = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                if self._closed:
+                    return None
+        if first is _STOP or self._closed:
+            if first is not _STOP:
+                first[1].set_exception(RuntimeError("server shutting down"))
             self._drain_on_stop()
             return None
         group = [first]
@@ -196,6 +211,12 @@ class BucketBatcher:
 
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
+    # Socket timeout (http.server applies it to the connection): without it
+    # a client that sends headers but stalls mid-body parks this handler
+    # thread in rfile.read() forever — each such connection leaks a thread
+    # (slowloris). A stalled read raises socket.timeout (an OSError), which
+    # the body-read try below turns into a 400.
+    timeout = 30
     # self.server is the ModelServer below
 
     def _reply(self, code: int, payload: dict) -> None:
@@ -251,7 +272,9 @@ class _Handler(BaseHTTPRequestHandler):
             probs = self.server.batcher.submit(img).result(
                 timeout=self.server.request_timeout_s)
         except Exception as exc:  # noqa: BLE001 — surfaced as HTTP 500
-            self._reply(500, {"error": str(exc)})
+            # str(TimeoutError()) is "" — fall back to the class name so the
+            # most latency-relevant failure is not a blank error payload
+            self._reply(500, {"error": str(exc) or type(exc).__name__})
             return
         probs = np.asarray(probs, np.float64)
         k = int(np.argmax(probs))

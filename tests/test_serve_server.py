@@ -161,6 +161,77 @@ def test_batcher_request_racing_past_close_resolves_with_error():
     assert not closer.is_alive()
 
 
+def test_batcher_dispatcher_exits_when_close_consumes_stop_sentinel():
+    """close() joins with a timeout; when the dispatcher is still inside a
+    long infer_fn at join expiry, close()'s drain consumes the _STOP
+    sentinel. The dispatcher must still exit (via the _closed poll) instead
+    of blocking forever on the queue — a stuck dispatcher leaks the thread
+    AND strands any submit that raced in behind it."""
+    started, release = threading.Event(), threading.Event()
+
+    def infer(batch):
+        started.set()
+        release.wait(10)
+        return np.zeros((batch.shape[0], 4), np.float32)
+
+    b = BucketBatcher(infer, SIZE, buckets=(1,), max_wait_ms=1)
+    f1 = b.submit(_img(0))
+    assert started.wait(10)               # dispatcher is inside infer
+    b.close(join_timeout_s=0.1)           # expires mid-infer; drain eats _STOP
+    release.set()                         # infer returns post-close
+    assert f1.result(timeout=10) is not None
+    b._thread.join(timeout=5)             # must exit via the _closed poll
+    assert not b._thread.is_alive(), "dispatcher thread leaked after close()"
+    # and a submit landing now fails fast instead of hanging
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(_img(1)).result(timeout=5)
+
+
+def test_http_handler_times_out_stalled_body():
+    """A client that sends headers but stalls mid-body must not park a
+    handler thread forever (slowloris): _Handler.timeout bounds the socket
+    read and the connection is torn down."""
+    import socket
+
+    from endoscopy_tpu.serve.server import ModelServer, _Handler
+
+    def infer(batch):
+        return np.zeros((batch.shape[0], 4), np.float32)
+
+    server = ModelServer(("127.0.0.1", 0), infer, input_size=SIZE,
+                         num_classes=4, buckets=(1,), max_wait_ms=1,
+                         backend="cpu")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    old_timeout = _Handler.timeout
+    _Handler.timeout = 1
+    try:
+        assert old_timeout is not None and old_timeout > 0
+        body_len = SIZE * SIZE * 3
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall((f"POST /predict HTTP/1.1\r\n"
+                       f"Host: x\r\nContent-Length: {body_len}\r\n"
+                       f"Content-Type: application/octet-stream\r\n"
+                       f"\r\n").encode())
+            s.sendall(b"\x00" * 16)      # partial body, then stall
+            s.settimeout(10)
+            t0 = time.monotonic()
+            data = b""
+            while True:                  # server must close (possibly after
+                chunk = s.recv(4096)     # an error reply) within ~timeout
+                if not chunk:
+                    break
+                data += chunk
+            assert time.monotonic() - t0 < 8
+        # server still serves new connections afterwards
+        assert _get(f"http://127.0.0.1:{port}/healthz",
+                    timeout=10)["status"] == "ok"
+    finally:
+        _Handler.timeout = old_timeout
+        server.close()
+
+
 def test_batcher_rejects_wrong_shape():
     b = BucketBatcher(_stub_infer([]), SIZE, buckets=(1,))
     try:

@@ -184,7 +184,7 @@ def main(argv=None) -> int:
     next(lab_it), next(unl_it)
 
     t0 = time.perf_counter()
-    done = 0
+    done = view_imgs = decodes = 0
     for _ in range(args.steps):
         try:
             x, _ = next(lab_it)
@@ -198,17 +198,20 @@ def main(argv=None) -> int:
             (uw, us), _ = next(unl_it)
         torch.add(x.sum(), uw.sum() + us.sum())  # touch the tensors
         done += 1
+        # count what was actually yielded, not the nominal batch sizes: a
+        # data dir smaller than batch*mu yields short batches under
+        # RandomSampler and nominal counting would overstate throughput
+        view_imgs += int(x.shape[0] + uw.shape[0] + us.shape[0])
+        decodes += int(x.shape[0] + uw.shape[0])
     dt = time.perf_counter() - t0
 
-    imgs_per_step = args.batch * (1 + 2 * args.mu)
-    items_per_step = args.batch * (1 + args.mu)
     print(f"host cores: {os.cpu_count()}, workers: {args.workers}")
     print(f"{done} steps in {dt:.1f}s")
-    print(f"items (JPEG decodes) per sec: {done * items_per_step / dt:.1f}")
+    print(f"items (JPEG decodes) per sec: {decodes / dt:.1f}")
     print(f"view-images per sec (bench.py convention): "
-          f"{done * imgs_per_step / dt:.1f}")
+          f"{view_imgs / dt:.1f}")
     print(f"per-core view-images per sec: "
-          f"{done * imgs_per_step / dt / min(args.workers, os.cpu_count()):.1f}")
+          f"{view_imgs / dt / min(args.workers, os.cpu_count()):.1f}")
     return 0
 
 

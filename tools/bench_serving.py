@@ -19,12 +19,14 @@ overhead on top of the chip number above it.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# repo root on sys.path regardless of CWD (run_parity.py pattern)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

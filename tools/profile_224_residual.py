@@ -30,12 +30,14 @@ Usage: python tools/profile_224_residual.py [--img 224] [--calls 5]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# repo root on sys.path regardless of CWD (run_parity.py pattern)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import V5E_BF16_TFLOPS, V5E_HBM_GBPS, _cost_per_step  # noqa: E402
 

@@ -18,9 +18,11 @@ Usage: python tools/profile_honest.py [--img 112] [--b 32] [--mu 7] [--k 8]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")  # repo root (endoscopy_tpu) when run as tools/x.py
+# repo root on sys.path regardless of CWD (run_parity.py pattern)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

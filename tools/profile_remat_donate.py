@@ -12,12 +12,14 @@ Usage: python tools/profile_remat_donate.py [--img 112] [--mode base|remat|donat
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# repo root on sys.path regardless of CWD (run_parity.py pattern)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_variant(img: int, mode: str, calls: int = 5, k: int = 8) -> float:
