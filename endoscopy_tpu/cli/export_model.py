@@ -32,6 +32,9 @@ def main(argv=None) -> None:
     parser.add_argument("--batch", type=int, default=None,
                         help="pin the batch dim (default: symbolic, any size)")
     parser.add_argument("--platforms", default="cpu,tpu")
+    parser.add_argument("--quantize", default=None, choices=["int8"],
+                        help="weight-only PTQ: int8 kernel constants with "
+                             "in-graph dequant (~4x smaller artifact)")
     args = parser.parse_args(argv)
 
     config = get_config(args.config)
@@ -45,9 +48,11 @@ def main(argv=None) -> None:
                 f"no complete checkpoint under {config.TRAIN.SAVE_CP}")
     size, n_classes = export_model(
         config, ckpt, args.out, platforms=args.platforms.split(","),
-        batch=args.batch)
+        batch=args.batch, quantize=args.quantize)
+    quant = f", {args.quantize} weights" if args.quantize else ""
     print(f"exported {ckpt} -> {args.out} "
-          f"(input uint8 [b,{size},{size},3], output f32 [b,{n_classes}])")
+          f"(input uint8 [b,{size},{size},3], output f32 [b,{n_classes}]"
+          f"{quant})")
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def load_eval_params(config, checkpoint: str):
 
 
 def make_infer_fn(model, params, batch_stats, img_size: int, dtype,
-                  is_reprod: bool = False):
+                  is_reprod: bool = False, quantize: str | None = None):
     """Closure over baked weights: canonical uint8 batch → softmax probs.
 
     Mirrors the trainers' jitted eval step (train/common.py::_build_eval_step)
@@ -68,6 +68,10 @@ def make_infer_fn(model, params, batch_stats, img_size: int, dtype,
     including the DATA.IS_REPROD paper-reproduction eval transform when the
     checkpoint was trained with it (resize + mean/std-0.5 normalize instead
     of center-crop + ImageNet normalize).
+
+    ``quantize="int8"`` applies weight-only PTQ (serve/quantize.py): kernels
+    are held as int8 constants and dequantized inside the graph, so an
+    export of this closure bakes the compressed weights into the artifact.
     """
     import jax
     import jax.numpy as jnp
@@ -76,6 +80,22 @@ def make_infer_fn(model, params, batch_stats, img_size: int, dtype,
     from endoscopy_tpu.train.common import apply_eval, model_logits
 
     view = reproduce_eval_view if is_reprod else eval_view
+
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unknown quantize mode {quantize!r} "
+                             "(supported: 'int8')")
+        from endoscopy_tpu.serve.quantize import dequantize_tree, quantize_tree
+
+        qparams = quantize_tree(params)
+
+        def infer(batch_u8):
+            x = view(batch_u8, img_size, dtype)
+            p = dequantize_tree(qparams, dtype)
+            logits = model_logits(model, apply_eval(model, p, batch_stats, x))
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        return infer
 
     def infer(batch_u8):
         x = view(batch_u8, img_size, dtype)
@@ -87,11 +107,14 @@ def make_infer_fn(model, params, batch_stats, img_size: int, dtype,
 
 def export_model(config, checkpoint: str, out_path: str,
                  platforms: Sequence[str] = ("cpu", "tpu"),
-                 batch: int | None = None) -> Tuple[int, int]:
+                 batch: int | None = None,
+                 quantize: str | None = None) -> Tuple[int, int]:
     """Export the eval forward of ``checkpoint`` to ``out_path``.
 
     ``batch=None`` exports a symbolic batch dimension (any size at call
-    time); an int pins it. Returns ``(canonical_input_size, num_classes)``.
+    time); an int pins it. ``quantize="int8"`` ships int8 kernel constants
+    with in-graph dequant (weight-only PTQ, serve/quantize.py).
+    Returns ``(canonical_input_size, num_classes)``.
     """
     import jax
     import jax.numpy as jnp
@@ -106,7 +129,8 @@ def export_model(config, checkpoint: str, out_path: str,
              else jnp.float32)
     infer = make_infer_fn(model, params, batch_stats,
                           int(config.DATA.IMG_SIZE), dtype,
-                          is_reprod=bool(config.DATA.get("IS_REPROD", False)))
+                          is_reprod=bool(config.DATA.get("IS_REPROD", False)),
+                          quantize=quantize)
 
     if batch is None:
         (b,) = jax_export.symbolic_shape("b")

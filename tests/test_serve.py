@@ -211,6 +211,36 @@ def dataset_root(tmp_path_factory):
     return img_root
 
 
+def test_export_int8_quantized(dataset_root, tmp_path):
+    """--quantize int8 ships int8 kernel constants: the artifact must be
+    materially smaller than the full-precision export, agree with it to
+    quantization tolerance, and keep the argmax decision on every sample."""
+    from endoscopy_tpu.serve.export import export_model, load_exported
+
+    cfg = make_config(dataset_root)
+    _model, _state, ckpt = _save_state(cfg, tmp_path / "cp")
+    full, quant = tmp_path / "full.jaxexport", tmp_path / "int8.jaxexport"
+    size, _ = export_model(cfg, ckpt, str(full), platforms=("cpu",))
+    export_model(cfg, ckpt, str(quant), platforms=("cpu",), quantize="int8")
+
+    # kernels dominate this f32 export; int8 storage must show up in the file
+    assert quant.stat().st_size < 0.55 * full.stat().st_size, (
+        quant.stat().st_size, full.stat().st_size)
+
+    f_full, f_quant = load_exported(str(full)), load_exported(str(quant))
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 255, (16, size, size, 3)).astype(np.uint8)
+    p_full, p_quant = f_full(batch), f_quant(batch)
+    np.testing.assert_allclose(p_quant.sum(axis=-1), 1.0, rtol=1e-5)
+    # per-channel W8A-f32 PTQ: softmax probs stay close, decisions identical
+    np.testing.assert_allclose(p_quant, p_full, atol=0.03)
+    np.testing.assert_array_equal(p_quant.argmax(-1), p_full.argmax(-1))
+
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        export_model(cfg, ckpt, str(quant), platforms=("cpu",),
+                     quantize="int4")
+
+
 def test_export_honors_is_reprod(dataset_root, tmp_path):
     """A DATA.IS_REPROD checkpoint must export the reproduce eval transform
     (resize + mean/std-0.5), not the ImageNet center-crop — the artifact's

@@ -39,6 +39,9 @@ def main() -> None:
                     help="also bench the online HTTP micro-batching server")
     ap.add_argument("--http-seconds", type=float, default=10.0)
     ap.add_argument("--http-clients", type=int, default=32)
+    ap.add_argument("--int8", action="store_true",
+                    help="also bench a weight-only int8 PTQ export of the "
+                         "same model (A/B vs the full-precision artifact)")
     args = ap.parse_args()
 
     import jax
@@ -56,40 +59,49 @@ def main() -> None:
     variables = model.init(jax.random.key(0),
                            jnp.zeros((1, size, size, 3), jnp.float32),
                            train=False)
-    infer = make_infer_fn(model, variables["params"],
-                          variables.get("batch_stats", {}),
-                          int(cfg.DATA.IMG_SIZE), jnp.bfloat16)
+    legs = [("f32/bf16", None)]
+    if args.int8:
+        legs.append(("int8-w", "int8"))
 
-    # export with a symbolic batch (the deployment artifact), rehydrate
-    (b,) = jax_export.symbolic_shape("b")
-    spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
-    t0 = time.time()
-    exported = jax_export.export(jax.jit(infer))(spec)
-    blob = exported.serialize()
-    rehydrated = jax_export.deserialize(blob)
-    print(f"artifact: {len(blob) / 1e6:.1f} MB, export {time.time()-t0:.0f}s",
-          flush=True)
+    blob = None
+    for leg_name, quant in legs:
+        infer = make_infer_fn(model, variables["params"],
+                              variables.get("batch_stats", {}),
+                              int(cfg.DATA.IMG_SIZE), jnp.bfloat16,
+                              quantize=quant)
 
-    # The relay caches repeat executions with identical inputs (PERF.md);
-    # stage DISTINCT device-resident batches and rotate through them so
-    # every timed call is a real execution.
-    rng = np.random.default_rng(0)
-    for bs in [int(x) for x in args.batches.split(",")]:
-        batches = [
-            jnp.asarray(
-                rng.integers(0, 255, (bs, size, size, 3)).astype(np.uint8))
-            for _ in range(args.calls + 1)
-        ]
-        # warmup/compile on a batch NOT in the timed set (a replay would be
-        # a relay cache hit)
-        out = rehydrated.call(batches.pop())
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        outs = [rehydrated.call(b) for b in batches]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / args.calls
-        print(f"B={bs:3d}: {dt * 1e3:7.2f} ms/call, "
-              f"{bs / dt:9.0f} img/s", flush=True)
+        # export with a symbolic batch (the deployment artifact), rehydrate
+        (b,) = jax_export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
+        t0 = time.time()
+        exported = jax_export.export(jax.jit(infer))(spec)
+        leg_blob = exported.serialize()
+        rehydrated = jax_export.deserialize(leg_blob)
+        if blob is None:
+            blob = leg_blob  # the HTTP bench serves the full-precision leg
+        print(f"[{leg_name}] artifact: {len(leg_blob) / 1e6:.1f} MB, "
+              f"export {time.time()-t0:.0f}s", flush=True)
+
+        # The relay caches repeat executions with identical inputs (PERF.md);
+        # stage DISTINCT device-resident batches and rotate through them so
+        # every timed call is a real execution.
+        rng = np.random.default_rng(0)
+        for bs in [int(x) for x in args.batches.split(",")]:
+            batches = [
+                jnp.asarray(
+                    rng.integers(0, 255, (bs, size, size, 3)).astype(np.uint8))
+                for _ in range(args.calls + 1)
+            ]
+            # warmup/compile on a batch NOT in the timed set (a replay would
+            # be a relay cache hit)
+            out = rehydrated.call(batches.pop())
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            outs = [rehydrated.call(b) for b in batches]
+            jax.block_until_ready(outs)
+            dt = (time.perf_counter() - t0) / args.calls
+            print(f"[{leg_name}] B={bs:3d}: {dt * 1e3:7.2f} ms/call, "
+                  f"{bs / dt:9.0f} img/s", flush=True)
 
     if args.http:
         _bench_http(blob, size, args.http_seconds, args.http_clients)

@@ -33,8 +33,8 @@ EOF
 echo "== bench table (writes BENCH_TABLE.md; ~20-30 min of compiles) =="
 python bench.py --table
 
-echo "== serving bench (chip path + online HTTP micro-batching path) =="
-python tools/bench_serving.py --calls 20 --http
+echo "== serving bench (chip path + online HTTP micro-batching path + int8 A/B) =="
+python tools/bench_serving.py --calls 20 --http --int8
 
 echo "== 224px residual attribution + candidate A/B (VERDICT r4 item 2) =="
 python tools/profile_224_residual.py --img 224
