@@ -152,6 +152,11 @@ def main(argv=None) -> None:
                              "training (reference learn.py:51 is_visual)")
     args = parser.parse_args(argv)
 
+    # SIGTERM (pod preemption/eviction) → checkpoint at the next epoch
+    # boundary → exit 143 (resumable via MODEL.PRE_TRAIN_RESUME)
+    from endoscopy_tpu.train import preempt
+    preempt.install()
+
     configs = [get_config(args.config_1)]
     if args.config_2:
         configs.append(get_config(args.config_2))
@@ -171,6 +176,10 @@ def main(argv=None) -> None:
                                     preview=preview)
         # progressive resizing carries the trained weights (learn.py:53-55)
         carry_state = (trainer.state.params, trainer.state.batch_stats)
+        if preempt.requested():
+            print("[preempt] exiting 143 (checkpoint saved; resume with "
+                  "MODEL.PRE_TRAIN_RESUME)", flush=True)
+            raise SystemExit(143)
 
 
 if __name__ == "__main__":

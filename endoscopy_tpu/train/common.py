@@ -31,6 +31,7 @@ from endoscopy_tpu.models.modelwemb import ModelwEmb
 from endoscopy_tpu.optim import build_optimizer
 from endoscopy_tpu.optim.schedules import build_schedule
 from endoscopy_tpu.parallel.mesh import mesh_from_config
+from endoscopy_tpu.train import preempt
 from endoscopy_tpu.parallel.sharding import batch_sharding, param_shardings, replicated
 from endoscopy_tpu.utils.meters import AverageMeter
 
@@ -309,6 +310,18 @@ class BaseTrainer:
     def train_one(self, epoch: int) -> AverageMeter:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _preempt_break(self, epoch: int, saved_this_epoch: bool = False) -> bool:
+        """True when a preemption signal arrived (train/preempt.py): saves a
+        resume checkpoint — unless this epoch's eval already saved one — and
+        tells the fit loop to stop. Every fit override polls this at its
+        epoch boundary; the CLI then exits 143 (resumable)."""
+        if not preempt.requested():
+            return False
+        if self.config.TRAIN.get("SAVE_CP") and not saved_this_epoch:
+            self.save_checkpoint(self.config.TRAIN.SAVE_CP)
+        print(f"[preempt] stopping after epoch {epoch}", flush=True)
+        return True
+
     @staticmethod
     def _drain_pending(pending, summary_loss, batch_size: int,
                        keep: int = 2) -> None:
@@ -372,17 +385,21 @@ class BaseTrainer:
             print(f"\tTrain Loss: {train_loss.avg:.3f} | {imgs_per_sec:.0f} img/s")
             logger.log({"loss/train": train_loss.avg,
                         "throughput/images_per_sec": imgs_per_sec}, epoch=epoch)
+            saved_this_epoch = False
             if epoch % int(self.config.TRAIN.FREQ_EVAL) == 0:
                 valid_loss, valid_metric = self.evaluate_one()
                 if self.best_valid_perf is None or self.best_valid_perf > valid_loss.avg:
                     self.best_valid_perf = valid_loss.avg
                 if self.config.TRAIN.get("SAVE_CP"):
                     self.save_checkpoint(self.config.TRAIN.SAVE_CP)
+                    saved_this_epoch = True
                 print(f"\tValid Loss: {valid_loss.avg:.3f}")
                 print(f"\tMetric: { {k: v for k, v in valid_metric.items() if k != 'sen/spec'} }")
                 logger.log({"loss/valid": valid_loss.avg,
                             "metric/macro_f1": float(valid_metric["macro/f1"])},
                            epoch=epoch)
+            if self._preempt_break(epoch, saved_this_epoch):
+                break
         # fit() returns with every async checkpoint save durable; exiting the
         # process mid-save races interpreter shutdown inside orbax's commit
         # threads (asyncio default executor already torn down).

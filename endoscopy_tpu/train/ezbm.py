@@ -275,6 +275,10 @@ class EZBM(BaseTrainer):
                                                      save=False)
                 print(f"s1 ep {epoch}: train {loss.avg:.3f} valid {vl.avg:.3f} "
                       f"F1 {vm['macro/f1']:.4f}")
+            if self._preempt_break(epoch):
+                from endoscopy_tpu.ckpt import orbax_io
+                orbax_io.wait_until_finished()
+                return
 
         print("-" * 10, "Stage 2 (fc only, fresh optimizer)", "-" * 10)
         self._tx2 = build_optimizer(self.state.params, opt_func=self.opt_func,
@@ -293,6 +297,8 @@ class EZBM(BaseTrainer):
                                                      save=True)
                 print(f"s2 ep {epoch}: train {loss.avg:.3f} valid {vl.avg:.3f} "
                       f"F1 {vm['macro/f1']:.4f}")
+            if self._preempt_break(epoch):
+                break
         from endoscopy_tpu.ckpt import orbax_io
         orbax_io.wait_until_finished()  # saves durable before fit() returns
 

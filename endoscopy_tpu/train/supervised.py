@@ -307,6 +307,7 @@ class SupLearning(BaseTrainer):
             self.epoch = epoch
             train_loss = self.train_one(epoch)
             print(f"Epoch {epoch} | Train Loss: {train_loss.avg:.3f}")
+            saved_this_epoch = False
             if epoch % int(self.config.TRAIN.FREQ_EVAL) == 0:
                 valid_loss, valid_metric = self.evaluate_one()
                 f1 = float(valid_metric["macro/f1"])
@@ -316,6 +317,7 @@ class SupLearning(BaseTrainer):
                         self.best_valid_score = f1
                         if self.config.TRAIN.get("SAVE_CP"):
                             self.save_checkpoint(self.config.TRAIN.SAVE_CP)
+                            saved_this_epoch = True
                     elif self.best_valid_loss < valid_loss.avg or self.best_valid_score > f1:
                         count_early_stop += 1
                 else:
@@ -323,6 +325,9 @@ class SupLearning(BaseTrainer):
                     self.best_valid_score = f1
                     if self.config.TRAIN.get("SAVE_CP"):
                         self.save_checkpoint(self.config.TRAIN.SAVE_CP)
+                        saved_this_epoch = True
                 print(f"\tValid Loss: {valid_loss.avg:.3f} | macro-F1: {f1:.4f}")
+            if self._preempt_break(epoch, saved_this_epoch):
+                break
         from endoscopy_tpu.ckpt import orbax_io
         orbax_io.wait_until_finished()  # saves durable before fit() returns
