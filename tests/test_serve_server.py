@@ -232,6 +232,62 @@ def test_http_handler_times_out_stalled_body():
         server.close()
 
 
+def test_http_server_resources_stable_under_churn():
+    """Connection churn (every request a fresh socket) must not accumulate
+    handler threads or file descriptors — the leak vector behind both the
+    slowloris and dispatcher-exit fixes."""
+    import os
+    import urllib.request
+
+    from endoscopy_tpu.serve.server import ModelServer
+
+    def infer(batch):
+        probs = np.zeros((batch.shape[0], 4), np.float32)
+        probs[:, 0] = 1.0
+        return probs
+
+    server = ModelServer(("127.0.0.1", 0), infer, input_size=SIZE,
+                         num_classes=4, buckets=(1, 2, 4), max_wait_ms=1,
+                         backend="cpu")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/predict"
+    payload = _img(3).tobytes()
+
+    def fds():
+        return len(os.listdir("/proc/self/fd"))
+
+    def hit(n):
+        for _ in range(n):
+            req = urllib.request.Request(
+                url, data=payload, method="POST",
+                headers={"Content-Type": "application/octet-stream"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert json.loads(r.read())["pred"] == 0
+
+    try:
+        hit(20)  # settle allocator/thread pools before baselining
+        base_threads, base_fds = threading.active_count(), fds()
+        workers = [threading.Thread(target=hit, args=(40,)) for _ in range(4)]
+        for w in workers:
+            w.start()
+        for w in workers:
+            w.join(timeout=120)
+        assert not any(w.is_alive() for w in workers)
+        deadline = time.monotonic() + 10  # handler threads unwind async
+        while time.monotonic() < deadline:
+            if (threading.active_count() <= base_threads + 2
+                    and fds() <= base_fds + 4):
+                break
+            time.sleep(0.25)
+        assert threading.active_count() <= base_threads + 2, (
+            f"thread leak: {base_threads} -> {threading.active_count()}")
+        assert fds() <= base_fds + 4, f"fd leak: {base_fds} -> {fds()}"
+        assert server.batcher.stats()["requests"] >= 180
+    finally:
+        server.close()
+
+
 def test_batcher_rejects_wrong_shape():
     b = BucketBatcher(_stub_infer([]), SIZE, buckets=(1,))
     try:
