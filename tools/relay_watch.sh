@@ -44,24 +44,20 @@ print("relay healthy:", d, float(x))
 EOF
   then
     echo "$(date -u +%FT%TZ) RELAY HEALTHY — running refresh_bench" | tee -a "$LOG"
-    bash tools/refresh_bench.sh > /tmp/refresh_bench_r4.log 2>&1
+    # refresh_bench.sh owns capture now: it tees itself into perf_runs/ and
+    # commits the log + BENCH_TABLE on success, regardless of which entry
+    # point launched it (the round-4 lesson: capture must not depend on the
+    # caller).
+    bash tools/refresh_bench.sh > /tmp/refresh_bench_watch.log 2>&1
     rc=$?
     if [ "$rc" -eq 0 ]; then
-      echo "$(date -u +%FT%TZ) refresh_bench done rc=0" | tee -a "$LOG"
-      # Preserve the measurements even if no interactive session is alive:
-      # keep the full refresh log in-repo and commit it with the regenerated
-      # table (explicit pathspecs — never sweeps unrelated staged work).
-      mkdir -p perf_runs
-      cp /tmp/refresh_bench_r4.log "perf_runs/refresh_$(date -u +%Y%m%dT%H%M%SZ).log"
-      git add perf_runs && git commit -q \
-        -m "TPU artifact refresh: BENCH_TABLE + serving + 224px residual logs (auto-captured on relay recovery)" \
-        -- BENCH_TABLE.md perf_runs || true
+      echo "$(date -u +%FT%TZ) refresh_bench done rc=0 (log self-committed under perf_runs/)" | tee -a "$LOG"
       exit 0
     elif [ "$rc" -eq 3 ]; then
       echo "$(date -u +%FT%TZ) refresh already running elsewhere (lock); exiting" | tee -a "$LOG"
       exit 0
     fi
-    echo "$(date -u +%FT%TZ) refresh_bench FAILED rc=$rc (see /tmp/refresh_bench_r4.log); retrying next period" | tee -a "$LOG"
+    echo "$(date -u +%FT%TZ) refresh_bench FAILED rc=$rc (see /tmp/refresh_bench_watch.log); retrying next period" | tee -a "$LOG"
   else
     echo "$(date -u +%FT%TZ) still wedged; sleeping $PERIOD" | tee -a "$LOG"
   fi
