@@ -27,15 +27,16 @@ from endoscopy_tpu.aug.randaugment import randaugment_mc
 # of all 14 pool branches (ops/randaugment_kernel.py) — ~30x faster on v5e.
 USE_PALLAS_RANDAUG = None
 
-# Stream the Pallas kernel's in/out blocks in the aug dtype (bf16 on the
-# flagship) instead of upcasting to f32 around the call: halves the kernel's
-# HBM traffic and drops the standalone convert passes. Bit-identical output:
-# the padded inputs are uint8-derived (exact in bf16), compute stays f32 in
-# VMEM, and the final bf16 cast merely moves inside the kernel
-# (tests/test_pallas_kernel.py::test_kernel_bf16_io_matches_f32_io).
-# 224px-residual candidate (VERDICT r4 item 2); default flips only after a
-# measured TPU win in tools/profile_224_residual.py.
-PALLAS_NATIVE_DTYPE_IO = False
+# The Pallas kernel streams its in/out blocks in the aug dtype (bf16 on the
+# flagship) rather than upcasting to f32 around the call: halves the
+# kernel's HBM traffic and drops the standalone convert passes.
+# Bit-identical output — the padded inputs are uint8-derived (exact in
+# bf16), compute stays f32 in VMEM, and the final bf16 cast merely moves
+# inside the kernel (tests/test_pallas_kernel.py bf16-vs-f32 tests); every
+# dtype x crop config Mosaic-compiles on the chip
+# (tools/pallas_compile_smoke.py). Formerly flag-gated as
+# PALLAS_NATIVE_DTYPE_IO; unconditional since the round-5 A/B measured it
+# never-worse (224px full step: 218.28 vs 219.36 ms — see PERF.md).
 
 
 def _pallas_randaug_enabled() -> bool:
@@ -48,8 +49,7 @@ def _randaugment_batch(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Batch RandAugmentMC(2,10)+Cutout via the fastest available path."""
     if _pallas_randaug_enabled():
         from endoscopy_tpu.ops.randaugment_kernel import randaugment_mc_pallas
-        io = x if PALLAS_NATIVE_DTYPE_IO else x.astype(jnp.float32)
-        return randaugment_mc_pallas(io, key).astype(x.dtype)
+        return randaugment_mc_pallas(x, key).astype(x.dtype)
     keys = jax.random.split(key, x.shape[0])
     return jax.vmap(randaugment_mc)(x, keys)
 
@@ -131,9 +131,8 @@ def fixmatch_views(batch_u8: jnp.ndarray, key: jax.Array, img_size: int,
         from endoscopy_tpu.ops.randaugment_kernel import randaugment_mc_pallas
         padded, tops, lefts = jax.vmap(
             partial(_fixmatch_strong_pad_one, img_size=img_size))(x, keys)
-        io = padded if PALLAS_NATIVE_DTYPE_IO else padded.astype(jnp.float32)
         strong = randaugment_mc_pallas(
-            io, k_ra, crop_offsets=(tops, lefts),
+            padded, k_ra, crop_offsets=(tops, lefts),
             crop_size=img_size).astype(x.dtype)
     else:
         strong = jax.vmap(partial(_fixmatch_strong_pre, img_size=img_size))(

@@ -32,15 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 from endoscopy_tpu.aug.ops import pil_fix_coeffs
 from endoscopy_tpu.aug.randaugment import sample_slot_params
 
-# Crop-fusion row addressing: False = bit-decomposed sublane rotations
-# (nb_r passes over the full padded plane, the round-3 shipped path);
-# True = one VMEM load with a dynamic sublane offset (pl.ds on the
-# second-to-last axis — supported by Mosaic, unlike arbitrary dynamic LANE
-# starts) and column rotations over the (h, wp) window instead of
-# (hp, wp). Candidate for the 224px residual (VERDICT r4 item 2);
-# interpret-mode-equal to the roll path (tests/test_pallas_kernel.py),
-# default flips only after a measured TPU win in tools/profile_224_residual.
-CROP_ROWS_DYNAMIC_SLICE = False
+# Crop-fusion row addressing is the bit-decomposed sublane-rotation path
+# only. The round-4 candidate that replaced the row rotations with one
+# dynamic-sublane-offset VMEM load (pl.ds on the second-to-last axis) was
+# REMOVED after root-causing its Mosaic failure on the real toolchain:
+# "cannot statically prove that index in dimension 2 is a multiple of 8" —
+# dynamic sublane starts must be provably 8-aligned (the per-sample crop
+# top is arbitrary), and the align-down-then-residual-roll workaround
+# degenerates into this roll path. Diagnostic preserved in
+# perf_runs/2026-08-19_pallas_smoke.log; tools/pallas_compile_smoke.py +
+# the slow-tier TPU smoke test keep every shipped config compile-verified.
 
 
 def _pad_for(size: int) -> int:
@@ -173,7 +174,7 @@ def _sharpness_plane(plane, factor, h: int, w: int):
 
 def _kernel(pi_ref, pf_ref, img_ref, out_ref, buf, n_slots: int,
             h: int, w: int, PAD: int, hp: int | None = None,
-            wp: int | None = None, crop_ds: bool = False):
+            wp: int | None = None):
     """pi_ref (B, 2+n_slots*2[+2]) int32 SMEM: [cut_cx, cut_cy,
     (op, apply)*slots, [crop_top, crop_left]]
     pf_ref (B, n_slots*2) f32 SMEM: [(v, sign)*slots]
@@ -195,31 +196,24 @@ def _kernel(pi_ref, pf_ref, img_ref, out_ref, buf, n_slots: int,
         top = pi_ref[i, 2 + 2 * n_slots]
         left = pi_ref[i, 3 + 2 * n_slots]
         nb_c = max(int(wp - w).bit_length(), 1)
-        if crop_ds:
-            # row offset = one dynamic-sublane-offset VMEM load; only the
-            # column offset needs bit rotations (arbitrary dynamic LANE
-            # starts are what Mosaic rejects), now over the (h, wp) window
-            for c in range(3):
-                x = img_ref[0, c, pl.ds(top, h), :]  # (h, wp)
-                for k in range(nb_c):
-                    bit = (left >> k) & 1
-                    x = jnp.where(bit == 1,
-                                  pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
-                buf[c] = x[:, :w].astype(jnp.float32)
-        else:
-            # bit-decomposed VMEM rotations on both axes + a static slice
-            nb_r = max(int(hp - h).bit_length(), 1)
-            for c in range(3):
-                x = img_ref[0, c]  # (hp, wp)
-                for k in range(nb_r):
-                    bit = (top >> k) & 1
-                    x = jnp.where(bit == 1,
-                                  pltpu.roll(x, (-(1 << k)) % hp, axis=0), x)
-                for k in range(nb_c):
-                    bit = (left >> k) & 1
-                    x = jnp.where(bit == 1,
-                                  pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
-                buf[c] = x[:h, :w].astype(jnp.float32)
+        # bit-decomposed VMEM rotations on both axes + a static slice.
+        # Rotations run in f32 regardless of the block I/O dtype: Mosaic's
+        # tpu.dynamic_rotate along sublanes is unimplemented for packed
+        # 16-bit dtypes (bf16 leg died in tpu_compile_helper; see
+        # perf_runs/2026-08-19_pallas_smoke.log), and the upcast happens
+        # in VMEM after the (already halved) HBM read.
+        nb_r = max(int(hp - h).bit_length(), 1)
+        for c in range(3):
+            x = img_ref[0, c].astype(jnp.float32)  # (hp, wp)
+            for k in range(nb_r):
+                bit = (top >> k) & 1
+                x = jnp.where(bit == 1,
+                              pltpu.roll(x, (-(1 << k)) % hp, axis=0), x)
+            for k in range(nb_c):
+                bit = (left >> k) & 1
+                x = jnp.where(bit == 1,
+                              pltpu.roll(x, (-(1 << k)) % wp, axis=1), x)
+            buf[c] = x[:h, :w]
 
     for slot in range(n_slots):
         op = pi_ref[i, 2 + slot * 2]
@@ -321,22 +315,17 @@ def sample_randaugment_params(key: jax.Array, batch: int, h: int, w: int,
 def randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
                           interpret: bool = False, crop_offsets=None,
                           crop_size: int | None = None) -> jnp.ndarray:
-    """Batch RandAugmentMC via the per-sample-dispatch kernel.
-
-    Thin wrapper resolving module flags OUTSIDE the jit boundary (a global
-    read inside the traced body would be frozen into the first cache entry);
-    see _randaugment_mc_pallas for the kernel launch."""
+    """Batch RandAugmentMC via the per-sample-dispatch kernel."""
     return _randaugment_mc_pallas(
         batch_nhwc, key, n=n, interpret=interpret, crop_offsets=crop_offsets,
-        crop_size=crop_size, crop_ds=bool(CROP_ROWS_DYNAMIC_SLICE))
+        crop_size=crop_size)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "interpret", "crop_size", "crop_ds"))
+                   static_argnames=("n", "interpret", "crop_size"))
 def _randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
                            interpret: bool = False, crop_offsets=None,
-                           crop_size: int | None = None,
-                           crop_ds: bool = False) -> jnp.ndarray:
+                           crop_size: int | None = None) -> jnp.ndarray:
     """Kernel launch.
 
     batch_nhwc: (B, H, W, 3) float in [0,255]; returns same shape/dtype.
@@ -383,7 +372,7 @@ def _randaugment_mc_pallas(batch_nhwc: jnp.ndarray, key: jax.Array, n: int = 2,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, n_slots=n, h=h, w=w, PAD=PAD,
-                          hp=hp, wp=wp, crop_ds=crop_ds),
+                          hp=hp, wp=wp),
         out_shape=jax.ShapeDtypeStruct((b, 3, h, w), planar.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -127,7 +127,8 @@ def test_kernel_crop_fusion_matches_xla_crop(rng):
 
 
 def test_kernel_bf16_io_matches_f32_io(rng):
-    """bf16 block I/O (PALLAS_NATIVE_DTYPE_IO candidate): uint8-derived
+    """bf16 block I/O (the production path — views pass the aug dtype
+    straight through since round 5): uint8-derived
     pixels are exact in bf16 and compute stays f32 in scratch, so the
     bf16-I/O kernel must equal the f32-I/O kernel after the final bf16
     cast — bit-identical, not approximately."""
@@ -143,12 +144,12 @@ def test_kernel_bf16_io_matches_f32_io(rng):
     np.testing.assert_array_equal(out_bf16, out_f32)
 
 
-def test_kernel_crop_rows_dynamic_slice_matches_rolls(rng, monkeypatch):
-    """CROP_ROWS_DYNAMIC_SLICE candidate: the dynamic-sublane-offset load
-    must produce exactly the same crop (and therefore output) as the
-    bit-decomposed roll path, in both I/O dtypes."""
-    from endoscopy_tpu.ops import randaugment_kernel as rk
-
+def test_kernel_bf16_io_crop_fusion_matches_f32_io(rng):
+    """bf16 block I/O through the CROP-FUSED launch (the production shape on
+    the flagship): the crop rotations upcast to f32 in VMEM — Mosaic's
+    sublane dynamic_rotate has no packed-16-bit lowering — so the bf16-I/O
+    fused kernel must equal the f32-I/O fused kernel bit-for-bit after the
+    final bf16 cast."""
     PADDING, OUT = 3, S
     P = OUT + 2 * PADDING
     imgs = jnp.asarray(rng.integers(0, 256, (B, P, P, 3)), jnp.float32)
@@ -156,17 +157,35 @@ def test_kernel_crop_rows_dynamic_slice_matches_rolls(rng, monkeypatch):
     lefts = jnp.asarray(rng.integers(0, 2 * PADDING + 1, B), jnp.int32)
     key = jax.random.key(9)
 
-    for dt in (jnp.float32, jnp.bfloat16):
-        x = imgs.astype(dt)
-        monkeypatch.setattr(rk, "CROP_ROWS_DYNAMIC_SLICE", False)
-        out_rolls = np.asarray(randaugment_mc_pallas(
-            x, key, interpret=True, crop_offsets=(tops, lefts),
-            crop_size=OUT).astype(jnp.float32))
-        monkeypatch.setattr(rk, "CROP_ROWS_DYNAMIC_SLICE", True)
-        out_ds = np.asarray(randaugment_mc_pallas(
-            x, key, interpret=True, crop_offsets=(tops, lefts),
-            crop_size=OUT).astype(jnp.float32))
-        np.testing.assert_array_equal(out_ds, out_rolls)
+    out_bf16 = np.asarray(randaugment_mc_pallas(
+        imgs.astype(jnp.bfloat16), key, interpret=True,
+        crop_offsets=(tops, lefts), crop_size=OUT).astype(jnp.float32))
+    out_f32 = np.asarray(randaugment_mc_pallas(
+        imgs, key, interpret=True, crop_offsets=(tops, lefts),
+        crop_size=OUT).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(out_bf16, out_f32)
+
+
+@pytest.mark.slow
+def test_tpu_compile_smoke_all_configs():
+    """Mosaic-compile every shipped kernel configuration on a REAL TPU.
+
+    Interpret mode validates semantics only — none of Mosaic's
+    layout/lowering legality. Both round-4 candidates passed interpret and
+    died in tpu_compile_helper (VERDICT r4 item 2, diagnostics in
+    perf_runs/2026-08-19_pallas_smoke.log); this smoke makes that class of
+    failure a committed test instead of a production surprise."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("real-TPU Mosaic toolchain required")
+    import tools.pallas_compile_smoke as smoke
+
+    failures = []
+    for name, dt, crop, size in smoke.configs(img=224):
+        try:
+            smoke.run_one(name, dt, crop, size)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
 
 
 def test_strong_pad_path_bit_identical_to_xla_strong_pre(rng):

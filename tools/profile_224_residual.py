@@ -2,16 +2,14 @@
 
 BENCH_TABLE.md round-3: fixmatch_resnet50_224 sits ~1.22x over its
 bytes-accessed HBM floor while the 112px flagship runs at 0.94x. This tool
-decomposes the 224px step ON THE CHIP into model-core vs in-situ view cost,
-and A/Bs the two flag-gated view candidates added in round 4:
+decomposes the 224px step ON THE CHIP into model-core vs in-situ view cost.
 
-- PALLAS_NATIVE_DTYPE_IO (aug/views.py): stream the RandAugment kernel's
-  blocks in bf16 instead of f32 — halves the kernel's HBM traffic, drops
-  the standalone convert passes (bit-identical output, interpret-verified).
-- CROP_ROWS_DYNAMIC_SLICE (ops/randaugment_kernel.py): the crop-fusion row
-  offset as ONE dynamic-sublane-offset VMEM load instead of nb_r
-  bit-decomposed rotations over the full padded plane; column rotations
-  shrink to the (h, wp) window (interpret-verified equal).
+Both round-4 flag-gated view candidates are resolved (round 5): native-dtype
+kernel I/O is now unconditional in aug/views.py (A/B measured 218.28 vs
+219.36 ms full step at 224px — never worse, bit-identical, so the flag was
+deleted), and CROP_ROWS_DYNAMIC_SLICE was removed after its Mosaic
+root-cause (dynamic sublane starts must be provably 8-aligned; see
+perf_runs/2026-08-19_pallas_smoke.log).
 
 Parts:
   full   production multi-step, bench-harness semantics (evolving state,
@@ -20,12 +18,9 @@ Parts:
          — fwd+bwd+optimizer+EMA only) + its cost_analysis floors;
          full - core = in-situ view cost riding on the step
   views  labeled_train_view + fixmatch_views alone in a scan
-  ab     full step re-measured under each candidate flag combination
-         (each leg rebuilds the trainer: fresh jit cache, fresh compile;
-         a Mosaic rejection on one leg is reported, not fatal)
 
 Usage: python tools/profile_224_residual.py [--img 224] [--calls 5]
-       [--parts full,core,views,ab]
+       [--parts full,core,views]
 """
 from __future__ import annotations
 
@@ -177,7 +172,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--calls", type=int, default=5)
-    ap.add_argument("--parts", default="full,core,views,ab")
+    ap.add_argument("--parts", default="full,core,views")
     ap.add_argument("--model", default="resnet50")
     ap.add_argument("--b", type=int, default=B)
     ap.add_argument("--mu", type=int, default=MU)
@@ -187,9 +182,6 @@ def main():
     parts = args.parts.split(",")
     imgs_per_step = B * (1 + 2 * MU)
     t0 = time.time()
-
-    from endoscopy_tpu.aug import views as views_mod
-    from endoscopy_tpu.ops import randaugment_kernel as rk
 
     full_ms = core_ms = None
     if "full" in parts:
@@ -219,27 +211,6 @@ def main():
     if "views" in parts:
         v_ms = measure_views(args.img, args.calls)
         print(f"views alone:{v_ms:7.2f} ms (labeled+weak+strong)", flush=True)
-
-    if "ab" in parts:
-        combos = [("bf16io", dict(io=True, ds=False)),
-                  ("cropDS", dict(io=False, ds=True)),
-                  ("both", dict(io=True, ds=True))]
-        for name, flags in combos:
-            views_mod.PALLAS_NATIVE_DTYPE_IO = flags["io"]
-            rk.CROP_ROWS_DYNAMIC_SLICE = flags["ds"]
-            try:
-                trainer, sharded, weights = build(args.img, args.model)
-                ms = measure_multi(trainer, sharded, weights, args.calls)
-                delta = f" ({ms - full_ms:+.2f} vs base)" if full_ms else ""
-                print(f"A/B {name:7s}: {ms:7.2f} ms"
-                      f" ({imgs_per_step / ms * 1e3:.0f} img/s){delta}",
-                      flush=True)
-            except Exception as e:  # Mosaic rejection on one leg: report on
-                print(f"A/B {name:7s}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:300]}", flush=True)
-        views_mod.PALLAS_NATIVE_DTYPE_IO = False
-        rk.CROP_ROWS_DYNAMIC_SLICE = False
-
 
 if __name__ == "__main__":
     main()
