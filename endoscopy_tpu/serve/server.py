@@ -211,6 +211,11 @@ class BucketBatcher:
 
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
+    # http.server replies in two TCP segments (header buffer, then body);
+    # with Nagle on, the body segment waits for the client's delayed ACK —
+    # a flat +40 ms on EVERY keep-alive request (measured: p50 44 ms from
+    # one localhost client against a 0 ms mock model; 4.4 ms with this on).
+    disable_nagle_algorithm = True
     # Socket timeout (http.server applies it to the connection): without it
     # a client that sends headers but stalls mid-body parks this handler
     # thread in rfile.read() forever — each such connection leaks a thread
@@ -289,6 +294,12 @@ class ModelServer(ThreadingHTTPServer):
     """HTTP front + BucketBatcher over one exported artifact."""
 
     daemon_threads = True
+    # listen(5) — socketserver's default backlog — drops SYNs whenever >5
+    # connections arrive between accept() calls; the client kernel retries
+    # after 1s, which measured as a p99 ≈ 1s latency cliff at ~0.75 fill
+    # under 32 closed-loop non-keep-alive clients (tools/bench_serving.py
+    # --mock-ms 0). A load-balancer-scale backlog removes the cliff.
+    request_queue_size = 128
 
     def __init__(self, address, infer_fn, *, input_size: int,
                  num_classes: int, buckets: Sequence[int],

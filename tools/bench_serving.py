@@ -14,6 +14,12 @@ micro-batching HTTP server on localhost): closed-loop clients posting raw
 canonical payloads, reporting achieved img/s, request-latency percentiles,
 and the realized batch-fill from /stats. Includes host-side HTTP + batching
 overhead on top of the chip number above it.
+
+``--mock-ms X`` replaces the model with a fixed-latency mock (X ms per
+batcher dispatch, any bucket) and runs ONLY the HTTP bench: the server's
+own dispatch/batching overhead with both the tunnel AND the chip removed
+(VERDICT r4 item 4). ``--mock-ms 0`` is the pure host dispatch ceiling.
+No jax involved — runs anywhere, touches no TPU.
 """
 
 from __future__ import annotations
@@ -42,7 +48,15 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="also bench a weight-only int8 PTQ export of the "
                          "same model (A/B vs the full-precision artifact)")
+    ap.add_argument("--mock-ms", type=float, default=None,
+                    help="HTTP bench only, against a fixed-latency mock "
+                         "model (isolates the batcher/dispatch path)")
     args = ap.parse_args()
+
+    if args.mock_ms is not None:
+        _bench_http(None, args.img, args.http_seconds, args.http_clients,
+                    mock_ms=args.mock_ms)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -107,24 +121,44 @@ def main() -> None:
         _bench_http(blob, size, args.http_seconds, args.http_clients)
 
 
-def _bench_http(blob: bytes, size: int, seconds: float, clients: int) -> None:
-    """Closed-loop load against the real cli.serve stack on localhost."""
+def _bench_http(blob, size: int, seconds: float, clients: int,
+                mock_ms: float | None = None) -> None:
+    """Closed-loop load against the real cli.serve stack on localhost.
+
+    mock_ms != None swaps the exported model for a busy-sleep of that many
+    milliseconds per dispatch: the full HTTP handler + BucketBatcher path
+    with a deterministic "chip", so throughput/latency/fill attribute to
+    the host stack alone."""
     import json
     import tempfile
     import threading
     import time as _time
     import urllib.request
 
-    from endoscopy_tpu.serve.server import make_server
+    from endoscopy_tpu.serve.server import ModelServer, make_server
 
-    with tempfile.NamedTemporaryFile(suffix=".jaxexport") as f:
-        f.write(blob)
-        f.flush()
-        server = make_server(f.name, host="127.0.0.1", port=0,
-                             max_wait_ms=2.0, log=lambda *_: None)
+    if mock_ms is not None:
+        ncls = 6
+
+        def mock_infer(batch):
+            if mock_ms > 0:
+                _time.sleep(mock_ms / 1e3)
+            return np.tile(np.linspace(0.9, 0.1, ncls, dtype=np.float32),
+                           (batch.shape[0], 1))
+
+        server = ModelServer(("127.0.0.1", 0), mock_infer, input_size=size,
+                             num_classes=ncls, buckets=(1, 2, 4, 8, 16, 32),
+                             max_wait_ms=2.0, backend=f"mock({mock_ms}ms)")
+        print(f"mock model: {mock_ms} ms per dispatch, any bucket",
+              flush=True)
+    else:
+        with tempfile.NamedTemporaryFile(suffix=".jaxexport") as f:
+            f.write(blob)
+            f.flush()
+            server = make_server(f.name, host="127.0.0.1", port=0,
+                                 max_wait_ms=2.0, log=lambda *_: None)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
-    url = f"http://127.0.0.1:{port}/predict"
     rng = np.random.default_rng(1)
     payloads = [rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
                 .tobytes() for _ in range(64)]
@@ -134,17 +168,29 @@ def _bench_http(blob: bytes, size: int, seconds: float, clients: int) -> None:
     lock = threading.Lock()
 
     def client(i: int) -> None:
+        # keep-alive: one TCP connection per client, like any production
+        # client library. Per-request connections (urllib) measure the TCP
+        # handshake path instead of the server — with enough clients the
+        # listen backlog overflows and kernel SYN retries (1s) own the p99.
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
         k = i
-        while _time.monotonic() < stop:
-            req = urllib.request.Request(
-                url, data=payloads[k % len(payloads)], method="POST",
-                headers={"Content-Type": "application/octet-stream"})
-            t0 = _time.perf_counter()
-            with urllib.request.urlopen(req, timeout=120) as r:
-                r.read()
-            with lock:
-                lat.append(_time.perf_counter() - t0)
-            k += clients
+        try:
+            while _time.monotonic() < stop:
+                t0 = _time.perf_counter()
+                conn.request(
+                    "POST", "/predict", body=payloads[k % len(payloads)],
+                    headers={"Content-Type": "application/octet-stream"})
+                resp = conn.getresponse()
+                resp.read()
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status}")
+                with lock:
+                    lat.append(_time.perf_counter() - t0)
+                k += clients
+        finally:
+            conn.close()
 
     threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(clients)]
@@ -166,9 +212,12 @@ def _bench_http(blob: bytes, size: int, seconds: float, clients: int) -> None:
     print(f"HTTP ({clients} closed-loop clients, {wall:.1f}s): "
           f"{n / wall:8.0f} img/s end-to-end, "
           f"p50 {lat[n // 2] * 1e3:.1f} ms, "
+          f"p90 {lat[int(n * 0.90)] * 1e3:.1f} ms, "
           f"p99 {lat[int(n * 0.99)] * 1e3:.1f} ms, "
           f"mean batch fill {stats['mean_fill']:.2f}, "
-          f"buckets {stats['bucket_hist']}", flush=True)
+          f"buckets {stats['bucket_hist']}, "
+          f"model-call p50/p99 {stats['model_ms_p50']:.1f}/"
+          f"{stats['model_ms_p99']:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
