@@ -117,8 +117,21 @@ class SemiFormer(BaseTrainer):
                     weights, k_drop)
             return opt_and_ema(state, grads, new_bs), loss
 
+        def fixmatch_core(state, x_lb, u_w, u_s, targets, weights, rng):
+            """fixmatch_step minus the view pipeline (views precomputed):
+            the model-core instrument tools/profile_224_residual.py uses to
+            split step time into core vs in-situ view cost. Not used by
+            training; kept adjacent to fixmatch_step so the two cannot
+            drift."""
+            (loss, (new_bs, _)), grads = jax.value_and_grad(
+                fixmatch_loss, has_aux=True)(
+                    state.params, state.batch_stats, x_lb, u_w, u_s, targets,
+                    weights, rng)
+            return opt_and_ema(state, grads, new_bs), loss
+
         self._warmup_step = warmup_step
         self._fixmatch_step = fixmatch_step
+        self._fixmatch_core = fixmatch_core
 
     def _build_eval_step(self):
         """Dual-head eval: summed logits for prediction, summed CE for loss

@@ -14,13 +14,19 @@ perf_runs/2026-08-19_pallas_smoke.log).
 Parts:
   full   production multi-step, bench-harness semantics (evolving state,
          host-fetch barrier) — the BENCH_TABLE row
-  core   the SAME step with views precomputed as inputs (trainer._train_core
-         — fwd+bwd+optimizer+EMA only) + its cost_analysis floors;
-         full - core = in-situ view cost riding on the step
+  core   the SAME step with views precomputed as inputs (the trainer's
+         *_core fn — fwd+bwd+optimizer+EMA only) + its cost_analysis
+         floors; full - core = in-situ view cost riding on the step
   views  labeled_train_view + fixmatch_views alone in a scan
+  trace  device-trace the core loop and rank HLOs by device time
+         (tools/xplane.py) — attribution of the 224px core residual
+
+``--trainer semiformer`` runs the same decomposition on the
+semiformer_conformer_224 BENCH_TABLE row (dual-head Conformer-Ti, MU=6)
+via SemiFormer._fixmatch_core (VERDICT r4 item 5).
 
 Usage: python tools/profile_224_residual.py [--img 224] [--calls 5]
-       [--parts full,core,views]
+       [--parts full,core,views] [--trainer fixmatch|semiformer]
 """
 from __future__ import annotations
 
@@ -39,54 +45,92 @@ from bench import V5E_BF16_TFLOPS, V5E_HBM_GBPS, _cost_per_step  # noqa: E402
 B, MU, K = 32, 7, 8  # flagship shapes; --model/--b/--mu/--k for CPU smoke
 
 
-def build(img: int, model: str = "resnet50"):
+def build(img: int, model: str = "resnet50", trainer_name: str = "fixmatch"):
     import jax.numpy as jnp
 
     from bench import _canonical_batches, _mk_cfg
     from endoscopy_tpu.models import build_model
-    from endoscopy_tpu.train.fixmatch import FixMatch
 
-    cfg = _mk_cfg(model, img, B, MU, "FixMatch")
-    trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
+    if trainer_name == "semiformer":
+        from endoscopy_tpu.train.semiformer import SemiFormer
+
+        cfg = _mk_cfg(model, img, B, MU, "SemiFormer")
+        trainer = SemiFormer(model=build_model(cfg), opt_func="Adam")
+    else:
+        from endoscopy_tpu.train.fixmatch import FixMatch
+
+        cfg = _mk_cfg(model, img, B, MU, "FixMatch")
+        trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
     trainer.train_dl = trainer.valid_dl = None
     trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
     weights = jnp.ones(cfg.MODEL.NUM_CLASSES, jnp.float32)
     xk, tk, uk = _canonical_batches(cfg, K)
-    sharded = trainer._shard_stacked(xk, tk, uk)
+    if trainer_name == "semiformer":
+        # SemiFormer has no scan-fused multi-step; bench row semantics are
+        # K repeated _fixmatch_step calls on one sharded batch triple
+        sharded = trainer._shard(xk[0], tk[0], uk[0])
+    else:
+        sharded = trainer._shard_stacked(xk, tk, uk)
     return trainer, sharded, weights
 
 
 def measure_multi(trainer, sharded, weights, calls: int) -> float:
-    """ms/step of the production multi-step program."""
+    """ms/step of the production (BENCH_TABLE-row) step program."""
     box = {"state": trainer.state, "loss": None}
 
-    def run():
-        box["state"], losses = trainer._train_multi(
-            box["state"], *sharded, weights, trainer._next_rng())
-        box["loss"] = losses
+    if hasattr(trainer, "_train_multi"):
+        def run():
+            box["state"], losses = trainer._train_multi(
+                box["state"], *sharded, weights, trainer._next_rng())
+            box["loss"] = losses
 
-    run(); run(); float(box["loss"][-1])
+        def fetch():
+            float(box["loss"][-1])
+    else:  # semiformer: K repeated jitted steps (bench.row_semiformer)
+        def run():
+            for _ in range(K):
+                box["state"], box["loss"] = trainer._fixmatch_step(
+                    box["state"], *sharded, weights, trainer._next_rng())
+
+        def fetch():
+            float(box["loss"])
+
+    run(); run(); fetch()
     t0 = time.perf_counter()
     for _ in range(calls):
         run()
-    float(box["loss"][-1])
+    fetch()
     return (time.perf_counter() - t0) / (calls * K) * 1e3
 
 
-def measure_core(trainer, weights, img: int, calls: int):
+def _core_fn(trainer):
+    """Normalize the trainers' core-step signatures to
+    (state, x, uw, us, t, weights, rng) -> (new_state, loss)."""
+    if hasattr(trainer, "_train_core"):
+        core = trainer._train_core
+
+        def fn(st, x, uw, us, t, weights, key):
+            new_st, loss, _ = core(st, x, uw, us, t, weights, key)
+            return new_st, loss
+
+        return fn
+    return trainer._fixmatch_core
+
+
+def measure_core(trainer, weights, img: int, calls: int, trace: bool = False):
     """ms/step of the view-free core (precomputed view inputs), + floors."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     # ImageNet-normalized views are roughly N(0,1): synthetic stand-ins at
-    # the exact shapes/dtypes train_core consumes
+    # the exact shapes/dtypes the core consumes
     dt = trainer.dtype
     x_lb_k = jnp.asarray(rng.standard_normal((K, B, img, img, 3)), dt)
     u_w_k = jnp.asarray(rng.standard_normal((K, B * MU, img, img, 3)), dt)
     u_s_k = jnp.asarray(rng.standard_normal((K, B * MU, img, img, 3)), dt)
     t_k = jnp.asarray(rng.integers(0, 6, (K, B)), jnp.int32)
-    core = trainer._train_core
+    core = _core_fn(trainer)
 
     @jax.jit
     def multi_core(state, xk, uwk, usk, tk, weights, rng):
@@ -94,7 +138,7 @@ def measure_core(trainer, weights, img: int, calls: int):
             st, key = carry
             key, sub = jax.random.split(key)
             x, uw, us, t = inp
-            new_st, loss, _ = core(st, x, uw, us, t, weights, sub)
+            new_st, loss = core(st, x, uw, us, t, weights, sub)
             return (new_st, key), loss
 
         (new_state, _), losses = jax.lax.scan(
@@ -115,6 +159,18 @@ def measure_core(trainer, weights, img: int, calls: int):
         run()
     float(box["loss"][-1])
     core_ms = (time.perf_counter() - t0) / (calls * K) * 1e3
+
+    if trace:
+        from tools.xplane import print_top_hlos
+        d = f"/tmp/core_trace_{img}"
+        with jax.profiler.trace(d):
+            run()
+            float(box["loss"][-1])
+        try:
+            print_top_hlos(d, k=30, label=f" (core, img={img})")
+        except Exception as e:  # keep the numbers even if parse fails
+            print("xplane parse unavailable:", type(e).__name__, e,
+                  "— trace dir:", d, flush=True)
 
     single_args = (trainer.state, x_lb_k[0], u_w_k[0], u_s_k[0], t_k[0],
                    weights, trainer._next_rng())
@@ -173,11 +229,22 @@ def main():
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--calls", type=int, default=5)
     ap.add_argument("--parts", default="full,core,views")
-    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--trainer", default="fixmatch",
+                    choices=("fixmatch", "semiformer"))
+    ap.add_argument("--model", default=None,
+                    help="default: resnet50 (fixmatch) / conformer "
+                         "(semiformer)")
     ap.add_argument("--b", type=int, default=B)
-    ap.add_argument("--mu", type=int, default=MU)
+    ap.add_argument("--mu", type=int, default=None,
+                    help="default: 7 (fixmatch) / 6 (semiformer, the "
+                         "BENCH_TABLE row dims)")
     ap.add_argument("--k", type=int, default=K)
     args = ap.parse_args()
+    if args.model is None:
+        args.model = ("conformer" if args.trainer == "semiformer"
+                      else "resnet50")
+    if args.mu is None:
+        args.mu = 6 if args.trainer == "semiformer" else MU
     B, MU, K = args.b, args.mu, args.k
     parts = args.parts.split(",")
     imgs_per_step = B * (1 + 2 * MU)
@@ -185,17 +252,19 @@ def main():
 
     full_ms = core_ms = None
     if "full" in parts:
-        trainer, sharded, weights = build(args.img, args.model)
+        trainer, sharded, weights = build(args.img, args.model, args.trainer)
         print(f"[{time.time()-t0:.0f}s] trainer built", flush=True)
         full_ms = measure_multi(trainer, sharded, weights, args.calls)
         print(f"full step:  {full_ms:7.2f} ms "
               f"({imgs_per_step / full_ms * 1e3:.0f} img/s)", flush=True)
 
-    if "core" in parts:
+    if "core" in parts or "trace" in parts:
         if "full" not in parts:
-            trainer, sharded, weights = build(args.img, args.model)
+            trainer, sharded, weights = build(args.img, args.model,
+                                              args.trainer)
         core_ms, flops, bytes_ = measure_core(
-            trainer, weights, args.img, args.calls)
+            trainer, weights, args.img, args.calls,
+            trace="trace" in parts)
         line = f"core step:  {core_ms:7.2f} ms (views precomputed)"
         if bytes_ is not None:
             hbm = bytes_ / (V5E_HBM_GBPS * 1e9) * 1e3

@@ -102,31 +102,14 @@ def main():
           f"SoL=max={sol:.2f} ms  headroom x{step_ms / sol:.2f}", flush=True)
 
     if args.trace:
-        import glob
+        from tools.xplane import print_top_hlos
         d = f"/tmp/roofline_trace_{args.img}"
         with jax.profiler.trace(d):
             run()
             float(box["loss"][-1])
         print(f"[{time.time()-t0:.0f}s] traced", flush=True)
         try:
-            from jax.profiler import ProfileData
-            pb = sorted(glob.glob(d + "/plugins/profile/*/*.xplane.pb"))[-1]
-            prof = ProfileData.from_serialized_xspace(open(pb, "rb").read())
-            agg = {}
-            for plane in prof.planes:
-                if "TPU" not in plane.name and "tpu" not in plane.name:
-                    continue
-                for line in plane.lines:
-                    for ev in line.events:
-                        agg[ev.name] = agg.get(ev.name, 0) + (
-                            ev.duration_ns or 0)
-            top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
-            tot = sum(agg.values())
-            print(f"top HLOs by device time (total {tot/1e6:.1f} ms traced):",
-                  flush=True)
-            for name, ns in top:
-                print(f"  {ns/1e6:8.2f} ms  {100*ns/max(tot,1):5.1f}%  "
-                      f"{name[:90]}", flush=True)
+            print_top_hlos(d)
         except Exception as e:
             print("xplane parse unavailable:", type(e).__name__, e, flush=True)
             print("trace dir:", d, flush=True)
