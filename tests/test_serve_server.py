@@ -397,3 +397,15 @@ def test_http_server_end_to_end(dataset_root, tmp_path):
         assert stats["batches"] < stats["requests"]
     finally:
         server.close()
+
+
+def test_transport_tuning_pins():
+    """Round-5 loopback isolation found two transport cliffs (docs/serving.md
+    "HTTP server in isolation"): listen(5) SYN drops -> 1s kernel retries at
+    p99, and Nagle holding the body segment for the delayed ACK (+40ms per
+    keep-alive request). Pin both knobs so a refactor cannot silently
+    reintroduce them."""
+    from endoscopy_tpu.serve.server import ModelServer, _Handler
+
+    assert ModelServer.request_queue_size >= 64
+    assert _Handler.disable_nagle_algorithm is True
