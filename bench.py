@@ -126,8 +126,12 @@ def _timed(run_calls, barrier, calls: int) -> float:
 
 def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
                  mu: int = 7, k: int = 8, calls: int = 5,
-                 with_cost: bool = False):
-    """FixMatch dual-view fused step (fixmatch.py:107-127 semantics)."""
+                 with_cost: bool = False, accum: int = 1):
+    """FixMatch dual-view fused step (fixmatch.py:107-127 semantics).
+
+    accum: TRAIN.GRAD_ACCUM microbatches per optimizer step — the 224px row
+    runs 2 (same effective batch; PERF.md round 5: +10.6% at 224px where
+    the 480-image activation set otherwise overflows HBM and XLA remats)."""
     import jax
     import jax.numpy as jnp
 
@@ -135,6 +139,7 @@ def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
     from endoscopy_tpu.train.fixmatch import FixMatch
 
     cfg = _mk_cfg(model, img, b, mu, "FixMatch")
+    cfg.TRAIN.GRAD_ACCUM = int(accum)
     trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
     trainer.train_dl = trainer.valid_dl = None
     trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
@@ -327,8 +332,10 @@ TABLE_ROWS = [
     # efficientnet_b1 (grep NAME /root/reference/code/configs/*.yaml)
     ("fixmatch_resnet50_112", "ResNet-50 112px B=32 MU=7 (flagship)",
      lambda: row_fixmatch("resnet50", 112, 32, 7, with_cost=True)),
-    ("fixmatch_resnet50_224", "ResNet-50 224px B=32 MU=7 (progressive stage 2)",
-     lambda: row_fixmatch("resnet50", 224, 32, 7, k=4, calls=4, with_cost=True)),
+    ("fixmatch_resnet50_224",
+     "ResNet-50 224px B=32 MU=7 GRAD_ACCUM=2 (progressive stage 2)",
+     lambda: row_fixmatch("resnet50", 224, 32, 7, k=4, calls=4,
+                          with_cost=True, accum=2)),
     ("comatch_resnet50_112", "CoMatch 4-view ResNet-50 112px B=32 MU=5",
      lambda: row_comatch("resnet50", 112, 32, 5, with_cost=True)),
     ("semiformer_conformer_224", "Conformer-Ti dual-head 224px B=32 MU=6",

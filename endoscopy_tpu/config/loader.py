@@ -150,6 +150,9 @@ _DEFAULTS: dict = {
         "DTYPE": "bfloat16",
         "SEED": 42,
         "STEPS_PER_CALL": 8,  # train steps fused per dispatch (lax.scan)
+        "GRAD_ACCUM": 1,   # microbatches per optimizer step (FixMatch):
+        # >1 shrinks the live activation set when big-res batches overflow
+        # HBM and XLA starts rematerializing (PERF.md round 5, 224px)
         "LOG_DIR": "",
         "USE_WANDB": False,  # mirror scalars to wandb (supervised.py:337-343)
     },

@@ -40,6 +40,17 @@ class FixMatch(BaseTrainer):
         self.lambda_u = float(config.TRAIN.LAMBDA_U)
         self.thres = float(config.TRAIN.THRES)
         self.T = float(config.TRAIN.T)
+        # TRAIN.GRAD_ACCUM > 1 splits each step into that many sequential
+        # microbatches with one optimizer/EMA update on the averaged grads.
+        # TPU-native motivation (PERF.md round 5): at 224px the full
+        # 480-image activation set exceeds what HBM holds for the backward,
+        # so XLA force-rematerializes early convs and bandwidth efficiency
+        # drops (core x1.23 over its bytes floor at B=32 vs x1.05 at B=16);
+        # halving the live working set recovers it. Semantics: optimizer
+        # sees the same effective batch; BN batch statistics are computed
+        # per microbatch (240 vs 480 samples — second-order) and running
+        # stats update once per microbatch, like two smaller steps.
+        self.grad_accum = max(1, int(config.TRAIN.get("GRAD_ACCUM", 1)))
 
         # init with the post-augmentation model input size (views crop
         # canonical -> IMG_SIZE before the model ever runs)
@@ -78,17 +89,15 @@ class FixMatch(BaseTrainer):
             loss = lx + lambda_u * lu
             return loss, (new_bs, lx, lu, mask_mean)
 
-        def train_core(state, x_lb, u_weak, u_strong, targets, weights,
-                       k_drop):
-            """Everything after view building: fwd+bwd, optimizer, EMA.
-            Split out so tools/profile_224_residual.py can time/cost the
-            model core with views precomputed — the HLO of train_step is
-            unchanged (views feed straight into this inline)."""
+        def grads_and_aux(params, batch_stats, x_lb, u_weak, u_strong,
+                          targets, weights, k_drop):
             (loss, (new_bs, lx, lu, mask_mean)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(
-                    state.params, state.batch_stats, x_lb, u_weak, u_strong,
-                    targets, weights, k_drop)
+                loss_fn, has_aux=True)(params, batch_stats, x_lb, u_weak,
+                                       u_strong, targets, weights, k_drop)
+            return grads, new_bs, loss, (lx, lu, mask_mean)
 
+        def apply_grads(state, grads, new_bs):
+            """Optimizer + schedule + EMA on already-computed gradients."""
             grads = mask_grads(grads, grad_mask)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -100,18 +109,67 @@ class FixMatch(BaseTrainer):
                     ema_params=ema_update(state.ema_params, new_params, ema_decay),
                     ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
                                                ema_decay))
-            return new_state, loss, (lx, lu, mask_mean)
+            return new_state
+
+        def train_core(state, x_lb, u_weak, u_strong, targets, weights,
+                       k_drop):
+            """Everything after view building: fwd+bwd, optimizer, EMA.
+            Split out so tools/profile_224_residual.py can time/cost the
+            model core with views precomputed — the HLO of train_step is
+            unchanged (views feed straight into this inline)."""
+            grads, new_bs, loss, aux = grads_and_aux(
+                state.params, state.batch_stats, x_lb, u_weak, u_strong,
+                targets, weights, k_drop)
+            return apply_grads(state, grads, new_bs), loss, aux
 
         self._train_core = train_core
+        accum = self.grad_accum
 
         @jax.jit
         def train_step(state, x_lb_u8, targets, u_canon_u8, weights, rng):
-            k_lb, k_views, k_drop = jax.random.split(rng, 3)
-            # all three views on device from two canonical uint8 batches
-            x_lb = labeled_train_view(x_lb_u8, k_lb, img_size, dtype)
-            u_weak, u_strong = fixmatch_views(u_canon_u8, k_views, img_size, dtype)
-            return train_core(state, x_lb, u_weak, u_strong, targets, weights,
-                              k_drop)
+            if accum == 1:
+                k_lb, k_views, k_drop = jax.random.split(rng, 3)
+                # all three views on device from two canonical uint8 batches
+                x_lb = labeled_train_view(x_lb_u8, k_lb, img_size, dtype)
+                u_weak, u_strong = fixmatch_views(u_canon_u8, k_views,
+                                                  img_size, dtype)
+                return train_core(state, x_lb, u_weak, u_strong, targets,
+                                  weights, k_drop)
+
+            # GRAD_ACCUM microbatches: sequential view+fwd+bwd on 1/accum of
+            # the batch (shrinks the live activation set XLA must hold or
+            # remat), f32 grad accumulation, ONE optimizer/EMA update on the
+            # mean. batch_stats thread through microbatches sequentially.
+            xs = x_lb_u8.reshape(accum, -1, *x_lb_u8.shape[1:])
+            ts = targets.reshape(accum, -1)
+            us = u_canon_u8.reshape(accum, -1, *u_canon_u8.shape[1:])
+            keys = jax.random.split(rng, accum)
+
+            def micro(carry, inp):
+                bs_carry, gsum, lsum, auxsum = carry
+                x_u8, t, u_u8, key = inp
+                k_lb, k_views, k_drop = jax.random.split(key, 3)
+                x = labeled_train_view(x_u8, k_lb, img_size, dtype)
+                u_w, u_s = fixmatch_views(u_u8, k_views, img_size, dtype)
+                grads, new_bs, loss, aux = grads_and_aux(
+                    state.params, bs_carry, x, u_w, u_s, t, weights, k_drop)
+                gsum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+                auxsum = jax.tree.map(lambda a, v: a + v, auxsum,
+                                      tuple(aux))
+                return (new_bs, gsum, lsum + loss, auxsum), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            init = (state.batch_stats, zeros, jnp.zeros((), jnp.float32),
+                    (jnp.zeros((), jnp.float32),) * 3)
+            (new_bs, gsum, lsum, auxsum), _ = jax.lax.scan(
+                micro, init, (xs, ts, us, keys))
+            grads = jax.tree.map(lambda g, p: (g / accum).astype(p.dtype),
+                                 gsum, state.params)
+            new_state = apply_grads(state, grads, new_bs)
+            aux = tuple(a / accum for a in auxsum)
+            return new_state, lsum / accum, aux
 
         self._train_step = train_step
 

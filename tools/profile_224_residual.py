@@ -45,7 +45,8 @@ from bench import V5E_BF16_TFLOPS, V5E_HBM_GBPS, _cost_per_step  # noqa: E402
 B, MU, K = 32, 7, 8  # flagship shapes; --model/--b/--mu/--k for CPU smoke
 
 
-def build(img: int, model: str = "resnet50", trainer_name: str = "fixmatch"):
+def build(img: int, model: str = "resnet50", trainer_name: str = "fixmatch",
+          accum: int = 1):
     import jax.numpy as jnp
 
     from bench import _canonical_batches, _mk_cfg
@@ -60,6 +61,7 @@ def build(img: int, model: str = "resnet50", trainer_name: str = "fixmatch"):
         from endoscopy_tpu.train.fixmatch import FixMatch
 
         cfg = _mk_cfg(model, img, B, MU, "FixMatch")
+        cfg.TRAIN.GRAD_ACCUM = int(accum)
         trainer = FixMatch(model=build_model(cfg), opt_func="Adam")
     trainer.train_dl = trainer.valid_dl = None
     trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
@@ -234,6 +236,8 @@ def main():
     ap.add_argument("--model", default=None,
                     help="default: resnet50 (fixmatch) / conformer "
                          "(semiformer)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="TRAIN.GRAD_ACCUM for the fixmatch trainer")
     ap.add_argument("--b", type=int, default=B)
     ap.add_argument("--mu", type=int, default=None,
                     help="default: 7 (fixmatch) / 6 (semiformer, the "
@@ -252,7 +256,8 @@ def main():
 
     full_ms = core_ms = None
     if "full" in parts:
-        trainer, sharded, weights = build(args.img, args.model, args.trainer)
+        trainer, sharded, weights = build(args.img, args.model, args.trainer,
+                                          args.accum)
         print(f"[{time.time()-t0:.0f}s] trainer built", flush=True)
         full_ms = measure_multi(trainer, sharded, weights, args.calls)
         print(f"full step:  {full_ms:7.2f} ms "
@@ -261,7 +266,7 @@ def main():
     if "core" in parts or "trace" in parts:
         if "full" not in parts:
             trainer, sharded, weights = build(args.img, args.model,
-                                              args.trainer)
+                                              args.trainer, args.accum)
         core_ms, flops, bytes_ = measure_core(
             trainer, weights, args.img, args.calls,
             trace="trace" in parts)

@@ -8,9 +8,16 @@ from __future__ import annotations
 import glob
 
 
-def aggregate_device_events(trace_dir: str) -> dict[str, int]:
+def aggregate_device_events(trace_dir: str,
+                            line_name: str = "XLA Ops") -> dict[str, int]:
     """Sum device-plane event durations (ns) by event name for the newest
-    xplane protobuf under ``trace_dir``."""
+    xplane protobuf under ``trace_dir``.
+
+    Only the ``line_name`` line is aggregated (default 'XLA Ops': the
+    synchronous leaf compute ops). The device plane also carries nested
+    wrappers ('XLA Modules', the scan while-op) and overlapping async DMA
+    spans ('Async XLA Ops' copy-start windows, which measure wait-until-
+    copy-done, not occupancy) — summing those double-counts wildly."""
     from jax.profiler import ProfileData
 
     pb = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.xplane.pb"))[-1]
@@ -20,6 +27,8 @@ def aggregate_device_events(trace_dir: str) -> dict[str, int]:
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
         for line in plane.lines:
+            if line.name != line_name:
+                continue
             for ev in line.events:
                 agg[ev.name] = agg.get(ev.name, 0) + (ev.duration_ns or 0)
     return agg
