@@ -39,6 +39,13 @@ class SemiFormer(BaseTrainer):
         self.thres = float(config.TRAIN.THRES)
         self.T = float(config.TRAIN.T)
         self.eval_step_sup = int(config.TRAIN.EVAL_STEP_SUP)
+        # TRAIN.GRAD_ACCUM: microbatches per optimizer step in the FixMatch
+        # phase (one averaged update; BN stats per microbatch). Same HBM-
+        # pressure motivation as the FixMatch trainer — the Conformer-224
+        # core measures x1.19 over its bytes floor at the full 416-image
+        # batch (PERF.md round 5). The warmup phase is labeled-only (B
+        # images) and never memory-bound, so it stays unsplit.
+        self.grad_accum = max(1, int(config.TRAIN.get("GRAD_ACCUM", 1)))
 
         # init with the post-augmentation model input size (views crop
         # canonical -> IMG_SIZE before the model ever runs)
@@ -106,16 +113,50 @@ class SemiFormer(BaseTrainer):
             loss = lx + lambda_u * (lu_conv + lu_trans)
             return loss, (new_bs, mask_mean)
 
+        accum = self.grad_accum
+
         @jax.jit
         def fixmatch_step(state, x_u8, targets, u_canon_u8, weights, rng):
-            k_lb, k_views, k_drop = jax.random.split(rng, 3)
-            x_lb = labeled_train_view(x_u8, k_lb, img_size, dtype)
-            u_w, u_s = fixmatch_views(u_canon_u8, k_views, img_size, dtype)
-            (loss, (new_bs, _)), grads = jax.value_and_grad(
-                fixmatch_loss, has_aux=True)(
-                    state.params, state.batch_stats, x_lb, u_w, u_s, targets,
-                    weights, k_drop)
-            return opt_and_ema(state, grads, new_bs), loss
+            if accum == 1:
+                k_lb, k_views, k_drop = jax.random.split(rng, 3)
+                x_lb = labeled_train_view(x_u8, k_lb, img_size, dtype)
+                u_w, u_s = fixmatch_views(u_canon_u8, k_views, img_size, dtype)
+                (loss, (new_bs, _)), grads = jax.value_and_grad(
+                    fixmatch_loss, has_aux=True)(
+                        state.params, state.batch_stats, x_lb, u_w, u_s,
+                        targets, weights, k_drop)
+                return opt_and_ema(state, grads, new_bs), loss
+
+            # GRAD_ACCUM sequential microbatches, f32 grad averaging, one
+            # opt/EMA update (same scheme as FixMatch.train_step; see
+            # tests/test_grad_accum.py for the pinned semantics there)
+            xs = x_u8.reshape(accum, -1, *x_u8.shape[1:])
+            ts = targets.reshape(accum, -1)
+            us = u_canon_u8.reshape(accum, -1, *u_canon_u8.shape[1:])
+            keys = jax.random.split(rng, accum)
+
+            def micro(carry, inp):
+                bs_carry, gsum, lsum = carry
+                mx_u8, mt, mu_u8, key = inp
+                k_lb, k_views, k_drop = jax.random.split(key, 3)
+                x_lb = labeled_train_view(mx_u8, k_lb, img_size, dtype)
+                u_w, u_s = fixmatch_views(mu_u8, k_views, img_size, dtype)
+                (loss, (new_bs, _)), grads = jax.value_and_grad(
+                    fixmatch_loss, has_aux=True)(
+                        state.params, bs_carry, x_lb, u_w, u_s, mt,
+                        weights, k_drop)
+                gsum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+                return (new_bs, gsum, lsum + loss), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (new_bs, gsum, lsum), _ = jax.lax.scan(
+                micro, (state.batch_stats, zeros, jnp.zeros((), jnp.float32)),
+                (xs, ts, us, keys))
+            grads = jax.tree.map(lambda g, p: (g / accum).astype(p.dtype),
+                                 gsum, state.params)
+            return opt_and_ema(state, grads, new_bs), lsum / accum
 
         def fixmatch_core(state, x_lb, u_w, u_s, targets, weights, rng):
             """fixmatch_step minus the view pipeline (views precomputed):

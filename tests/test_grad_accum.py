@@ -121,3 +121,25 @@ def test_accum_requires_divisible_batch():
     with pytest.raises(Exception):
         trainer._train_step(trainer.state, x, t, u, weights,
                             trainer._next_rng())
+
+
+@pytest.mark.slow
+def test_semiformer_accum_smoke_trains():
+    """SemiFormer fixmatch-phase GRAD_ACCUM=2: runs, finite loss, one
+    optimizer step (warmup phase is intentionally unsplit). Slow tier:
+    Conformer-Ti compile alone is minutes on the 1-core host."""
+    from endoscopy_tpu.train.semiformer import SemiFormer
+
+    cfg = _cfg(2)
+    cfg.MODEL.NAME = "conformer"
+    cfg.MODEL.TYPE_SEMI = "SemiFormer"
+    trainer = SemiFormer(model=build_model(cfg), opt_func="Adam")
+    trainer.train_dl = trainer.valid_dl = None
+    trainer.get_config(cfg, labeled_targets=np.arange(4))
+    x, t, u = _batches()
+    weights = jnp.ones(4, jnp.float32)
+    step0 = int(trainer.state.step)
+    state, loss = trainer._fixmatch_step(
+        trainer.state, x, t, u, weights, trainer._next_rng())
+    assert np.isfinite(float(loss))
+    assert int(state.step) == step0 + 1

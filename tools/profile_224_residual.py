@@ -56,6 +56,7 @@ def build(img: int, model: str = "resnet50", trainer_name: str = "fixmatch",
         from endoscopy_tpu.train.semiformer import SemiFormer
 
         cfg = _mk_cfg(model, img, B, MU, "SemiFormer")
+        cfg.TRAIN.GRAD_ACCUM = int(accum)
         trainer = SemiFormer(model=build_model(cfg), opt_func="Adam")
     else:
         from endoscopy_tpu.train.fixmatch import FixMatch
