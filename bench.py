@@ -209,9 +209,11 @@ def row_comatch(model: str = "resnet50", img: int = 112, b: int = 32,
 
 def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
                    calls: int = 3, steps_per_call: int = 4,
-                   with_cost: bool = False):
+                   with_cost: bool = False, accum: int = 2):
     """SemiFormer FixMatch phase on dual-head Conformer-Ti
-    (semiformer.py:119-133; config kaggle_semisupervised_real_2.yaml dims)."""
+    (semiformer.py:119-133; config kaggle_semisupervised_real_2.yaml dims).
+    GRAD_ACCUM=2 by default: +32.6% at 224px (PERF.md round 5) — the
+    416-image dual-branch activation set is HBM-pressure-bound unsplit."""
     import jax
     import jax.numpy as jnp
 
@@ -219,6 +221,7 @@ def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
     from endoscopy_tpu.train.semiformer import SemiFormer
 
     cfg = _mk_cfg("conformer", img, b, mu, "SemiFormer")
+    cfg.TRAIN.GRAD_ACCUM = int(accum)
     trainer = SemiFormer(model=build_model(cfg), opt_func="Adam")
     trainer.train_dl = trainer.valid_dl = None
     trainer.get_config(cfg, labeled_targets=np.arange(cfg.MODEL.NUM_CLASSES))
@@ -338,7 +341,8 @@ TABLE_ROWS = [
                           with_cost=True, accum=2)),
     ("comatch_resnet50_112", "CoMatch 4-view ResNet-50 112px B=32 MU=5",
      lambda: row_comatch("resnet50", 112, 32, 5, with_cost=True)),
-    ("semiformer_conformer_224", "Conformer-Ti dual-head 224px B=32 MU=6",
+    ("semiformer_conformer_224",
+     "Conformer-Ti dual-head 224px B=32 MU=6 GRAD_ACCUM=2",
      lambda: row_semiformer(224, 32, 6, with_cost=True)),
     ("supervised_swin_224", "Swin-T 224px B=64 labeled view",
      lambda: row_supervised("swin", 224, 64, k=4, calls=4, with_cost=True)),
