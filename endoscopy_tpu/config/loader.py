@@ -150,7 +150,9 @@ _DEFAULTS: dict = {
         "DTYPE": "bfloat16",
         "SEED": 42,
         "STEPS_PER_CALL": 8,  # train steps fused per dispatch (lax.scan)
-        "GRAD_ACCUM": 1,   # microbatches per optimizer step (FixMatch):
+        "GRAD_ACCUM": 1,   # microbatches per optimizer step (SupLearning /
+        # FixMatch / SemiFormer; CoMatch and EZBM refuse >1 loudly — their
+        # losses couple the whole batch):
         # >1 shrinks the live activation set when big-res batches overflow
         # HBM and XLA starts rematerializing (PERF.md round 5, 224px)
         "LOG_DIR": "",

@@ -64,6 +64,15 @@ class CoMatch(BaseTrainer):
         self.low_dim = int(config.MODEL.LOW_DIM)
         self.num_classes = int(config.MODEL.NUM_CLASSES)
         self.queue_size = self.queue_batch * (int(config.DATA.MU) + 1) * int(config.DATA.BATCH_SIZE)
+        if int(config.TRAIN.get("GRAD_ACCUM", 1)) > 1:
+            # CoMatch's pseudo-label graph contrast is computed over the FULL
+            # unlabeled batch's pairwise similarities — splitting it into
+            # microbatches changes the algorithm, not just the schedule.
+            # Refuse loudly rather than silently ignoring the knob.
+            raise ValueError(
+                "TRAIN.GRAD_ACCUM > 1 is not supported for CoMatch: the "
+                "graph-contrastive loss couples the whole batch. Use it with "
+                "SupLearning / FixMatch / SemiFormer, or lower BATCH_SIZE.")
 
         # init with the post-augmentation model input size (views crop
         # canonical -> IMG_SIZE before the model ever runs)

@@ -48,6 +48,14 @@ class EZBM(BaseTrainer):
         self.cls_num_list = list(cls_num_list or [])
         self.lambda_c = float(config.TRAIN.LAMBDA_C)
         self.expansion = str(config.TRAIN.get("EXPANSION", "balance"))
+        if int(config.TRAIN.get("GRAD_ACCUM", 1)) > 1:
+            # EZBM's stage-2 balanced mixing pairs samples ACROSS the batch
+            # (one per class); microbatching would change which pairs exist.
+            # Refuse loudly rather than silently ignoring the knob.
+            raise ValueError(
+                "TRAIN.GRAD_ACCUM > 1 is not supported for EZBM: balanced "
+                "mixing pairs samples across the whole batch. Use it with "
+                "SupLearning / FixMatch / SemiFormer, or lower BATCH_SIZE.")
 
         # init with the post-augmentation model input size (views crop
         # canonical -> IMG_SIZE before the model ever runs)

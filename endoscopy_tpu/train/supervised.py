@@ -61,6 +61,11 @@ class SupLearning(BaseTrainer):
         # dataset.py:322-330; knobs live in every config)
         self.mixup_active = (float(config.TRAIN.get("MIXUP", 0.0)) > 0
                              or float(config.TRAIN.get("CUTMIX", 0.0)) > 0)
+        # TRAIN.GRAD_ACCUM > 1: sequential microbatches, one optimizer/EMA
+        # update on the f32-averaged grads (same semantics as fixmatch.py).
+        # For the triplet branch the anchor/pos/neg blocks are split
+        # per-microbatch so every micro sees matched A/P/N triples.
+        self.grad_accum = max(1, int(config.TRAIN.get("GRAD_ACCUM", 1)))
 
         # init with the post-augmentation model input size (views crop
         # canonical -> IMG_SIZE before the model ever runs)
@@ -139,27 +144,21 @@ class SupLearning(BaseTrainer):
                       if bool(self.config.DATA.get("IS_REPROD", False))
                       else labeled_train_view)
 
-        @jax.jit
-        def train_step(state, batch_u8, targets, weights, rng):
-            k_aug, k_drop = jax.random.split(rng)
-            x = train_view(batch_u8, k_aug, img_size, dtype)
-
+        def grads_and_aux(params, batch_stats, x, targets, weights, k_drop):
+            """fwd+bwd of whichever loss branch is active; aux is the
+            branch-specific scalar tuple ((d_ap, d_an) for triplet)."""
             if is_triplet:
                 (loss, (new_bs, d_ap, d_an)), grads = jax.value_and_grad(
                     loss_triplet_fn, has_aux=True)(
-                        state.params, state.batch_stats, x, targets, weights, k_drop)
-                aux = (d_ap, d_an)
-            elif margin is not None:
-                (loss, new_bs), grads = jax.value_and_grad(
-                    loss_margin, has_aux=True)(
-                        state.params, state.batch_stats, x, targets, weights, k_drop)
-                aux = ()
-            else:
-                (loss, new_bs), grads = jax.value_and_grad(
-                    loss_plain, has_aux=True)(
-                        state.params, state.batch_stats, x, targets, weights, k_drop)
-                aux = ()
+                        params, batch_stats, x, targets, weights, k_drop)
+                return grads, new_bs, loss, (d_ap, d_an)
+            loss_fn = loss_margin if margin is not None else loss_plain
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, x, targets, weights, k_drop)
+            return grads, new_bs, loss, ()
 
+        def apply_grads(state, grads, new_bs):
+            """Optimizer + schedule + EMA on already-computed gradients."""
             grads = mask_grads(grads, grad_mask)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -170,7 +169,58 @@ class SupLearning(BaseTrainer):
                 new_state = new_state.replace(
                     ema_params=ema_update(state.ema_params, new_params, ema_decay),
                     ema_batch_stats=ema_update(state.ema_batch_stats, new_bs, ema_decay))
-            return new_state, loss, aux
+            return new_state
+
+        accum = self.grad_accum
+        n_aux = 2 if is_triplet else 0
+
+        @jax.jit
+        def train_step(state, batch_u8, targets, weights, rng):
+            if accum == 1:
+                k_aug, k_drop = jax.random.split(rng)
+                x = train_view(batch_u8, k_aug, img_size, dtype)
+                grads, new_bs, loss, aux = grads_and_aux(
+                    state.params, state.batch_stats, x, targets, weights,
+                    k_drop)
+                return apply_grads(state, grads, new_bs), loss, aux
+
+            # GRAD_ACCUM microbatches (see fixmatch.py for the TPU
+            # motivation): sequential view+fwd+bwd on 1/accum of the batch,
+            # f32 grad accumulation, ONE optimizer/EMA update on the mean.
+            # The triplet batch is laid out [anchors(B); pos(B); neg(B)]
+            # (supervised.py:84-90) — split each block so microbatch i gets
+            # matched (A_i, P_i, N_i), not an arbitrary 3B/accum slice.
+            if is_triplet:
+                three = batch_u8.reshape(3, accum, -1, *batch_u8.shape[1:])
+                xs = jnp.swapaxes(three, 0, 1).reshape(
+                    accum, -1, *batch_u8.shape[1:])
+            else:
+                xs = batch_u8.reshape(accum, -1, *batch_u8.shape[1:])
+            ts = targets.reshape(accum, -1)
+            keys = jax.random.split(rng, accum)
+
+            def micro(carry, inp):
+                bs_carry, gsum, lsum, auxsum = carry
+                x_u8, t, key = inp
+                k_aug, k_drop = jax.random.split(key)
+                x = train_view(x_u8, k_aug, img_size, dtype)
+                grads, new_bs, loss, aux = grads_and_aux(
+                    state.params, bs_carry, x, t, weights, k_drop)
+                gsum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+                auxsum = tuple(a + v for a, v in zip(auxsum, aux))
+                return (new_bs, gsum, lsum + loss, auxsum), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            init = (state.batch_stats, zeros, jnp.zeros((), jnp.float32),
+                    (jnp.zeros((), jnp.float32),) * n_aux)
+            (new_bs, gsum, lsum, auxsum), _ = jax.lax.scan(
+                micro, init, (xs, ts, keys))
+            grads = jax.tree.map(lambda g, p: (g / accum).astype(p.dtype),
+                                 gsum, state.params)
+            new_state = apply_grads(state, grads, new_bs)
+            return new_state, lsum / accum, tuple(a / accum for a in auxsum)
 
         self._train_step = train_step
 
