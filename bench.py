@@ -160,10 +160,24 @@ def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
     ips = b * (1 + 2 * mu) * steps / dt / len(jax.devices())
     if not with_cost:
         return ips
+    # Roofline columns always come from the UNSPLIT (accum=1) program: the
+    # GRAD_ACCUM path wraps the microbatch body in lax.scan, and XLA's cost
+    # analysis counts a loop body ONCE regardless of trip count (see
+    # _cost_per_step docstring) — the accum program would report ~1/accum of
+    # the real flops/bytes and fake a 2x "headroom" regression. The unsplit
+    # program computes the same optimizer step, so its floor is the honest
+    # speed-of-light bound for the row.
+    cost_trainer = trainer
+    if accum > 1:
+        cfg1 = _mk_cfg(model, img, b, mu, "FixMatch")
+        cost_trainer = FixMatch(model=build_model(cfg1), opt_func="Adam")
+        cost_trainer.train_dl = cost_trainer.valid_dl = None
+        cost_trainer.get_config(cfg1,
+                                labeled_targets=np.arange(cfg1.MODEL.NUM_CLASSES))
     flops, bts = _cost_per_step(
-        trainer._train_step,
-        (box["state"], *trainer._shard(xk[0], tk[0], uk[0]), weights,
-         trainer._next_rng()))
+        cost_trainer._train_step,
+        (cost_trainer.state, *cost_trainer._shard(xk[0], tk[0], uk[0]),
+         weights, cost_trainer._next_rng()))
     return ips, dt / steps * 1e3, flops, bts
 
 
@@ -241,9 +255,18 @@ def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
     ips = b * (1 + 2 * mu) * steps / dt / len(jax.devices())
     if not with_cost:
         return ips
+    # Unsplit program for the roofline columns (same rationale as
+    # row_fixmatch: XLA counts the GRAD_ACCUM scan body once).
+    cost_trainer = trainer
+    if accum > 1:
+        cfg1 = _mk_cfg("conformer", img, b, mu, "SemiFormer")
+        cost_trainer = SemiFormer(model=build_model(cfg1), opt_func="Adam")
+        cost_trainer.train_dl = cost_trainer.valid_dl = None
+        cost_trainer.get_config(cfg1,
+                                labeled_targets=np.arange(cfg1.MODEL.NUM_CLASSES))
     flops, bts = _cost_per_step(
-        trainer._fixmatch_step,
-        (box["state"], sx, st, su, weights, trainer._next_rng()))
+        cost_trainer._fixmatch_step,
+        (cost_trainer.state, sx, st, su, weights, cost_trainer._next_rng()))
     return ips, dt / steps * 1e3, flops, bts
 
 
