@@ -413,7 +413,11 @@ def run_table() -> dict:
             "of the exact program: MFU = flops/step-time vs 197 TFLOP/s bf16 "
             "peak; HBM floor = bytes-accessed / 819 GB/s; headroom = "
             "step-time / max(HBM floor, MXU floor) — the measured "
-            "speed-of-light multiple (1.0x = roofline).\n\n"
+            "speed-of-light multiple (1.0x = roofline). GRAD_ACCUM rows "
+            "keep the UNSPLIT program's floors (the ideal one-pass cost), "
+            "so their headroom includes the accumulation's deliberate "
+            "weight re-reads — it overstates waste but keeps rows "
+            "comparable across accum settings.\n\n"
             "| row | img/s/chip | ms/step | MFU | HBM floor ms | headroom | "
             "path |\n|---|---|---|---|---|---|---|\n")
         for name, desc, _ in TABLE_ROWS:
