@@ -130,8 +130,9 @@ def row_fixmatch(model: str = "resnet50", img: int = 112, b: int = 32,
     """FixMatch dual-view fused step (fixmatch.py:107-127 semantics).
 
     accum: TRAIN.GRAD_ACCUM microbatches per optimizer step — the 224px row
-    runs 2 (same effective batch; PERF.md round 5: +10.6% at 224px where
-    the 480-image activation set otherwise overflows HBM and XLA remats)."""
+    runs 4 (same effective batch; PERF.md round 5 A/B: accum=4 2,513.6 vs
+    accum=2 2,420.6 img/s, +3.8% — the 480-image activation set otherwise
+    overflows HBM and XLA remats)."""
     import jax
     import jax.numpy as jnp
 
@@ -223,10 +224,11 @@ def row_comatch(model: str = "resnet50", img: int = 112, b: int = 32,
 
 def row_semiformer(img: int = 224, b: int = 32, mu: int = 6,
                    calls: int = 3, steps_per_call: int = 4,
-                   with_cost: bool = False, accum: int = 2):
+                   with_cost: bool = False, accum: int = 4):
     """SemiFormer FixMatch phase on dual-head Conformer-Ti
     (semiformer.py:119-133; config kaggle_semisupervised_real_2.yaml dims).
-    GRAD_ACCUM=2 by default: +32.6% at 224px (PERF.md round 5) — the
+    GRAD_ACCUM=4 by default (PERF.md round 5 A/B: 1,184.7 vs 1,028.5 img/s
+    at accum=2, +15.2%; accum=2 was already +32.6% over unsplit) — the
     416-image dual-branch activation set is HBM-pressure-bound unsplit."""
     import jax
     import jax.numpy as jnp
@@ -359,13 +361,13 @@ TABLE_ROWS = [
     ("fixmatch_resnet50_112", "ResNet-50 112px B=32 MU=7 (flagship)",
      lambda: row_fixmatch("resnet50", 112, 32, 7, with_cost=True)),
     ("fixmatch_resnet50_224",
-     "ResNet-50 224px B=32 MU=7 GRAD_ACCUM=2 (progressive stage 2)",
+     "ResNet-50 224px B=32 MU=7 GRAD_ACCUM=4 (progressive stage 2)",
      lambda: row_fixmatch("resnet50", 224, 32, 7, k=4, calls=4,
-                          with_cost=True, accum=2)),
+                          with_cost=True, accum=4)),
     ("comatch_resnet50_112", "CoMatch 4-view ResNet-50 112px B=32 MU=5",
      lambda: row_comatch("resnet50", 112, 32, 5, with_cost=True)),
     ("semiformer_conformer_224",
-     "Conformer-Ti dual-head 224px B=32 MU=6 GRAD_ACCUM=2",
+     "Conformer-Ti dual-head 224px B=32 MU=6 GRAD_ACCUM=4",
      lambda: row_semiformer(224, 32, 6, with_cost=True)),
     ("supervised_swin_224", "Swin-T 224px B=64 labeled view",
      lambda: row_supervised("swin", 224, 64, k=4, calls=4, with_cost=True)),
